@@ -1,0 +1,336 @@
+"""Span explosion, quarantine, page derivation, and W2 reassembly.
+
+All native Column expressions — zero Python UDFs.  The only shuffles are:
+  1. the window over ``(doc_id, page)`` (order within page), and
+  2. the tiny per-(doc, page) count aggregate used to offset page-local
+     row numbers into a per-doc global ``order`` (two-phase reassembly).
+Partitioning by ``(doc_id, page)`` instead of ``doc_id`` alone is the
+mega-doc skew defense (SURVEY.md §4 P6): a 10M-span document spreads its
+pages across tasks instead of sorting in one.
+
+Reference semantics pinned (oracle: refsem.derive_pages/span_sequence):
+- page_manager.py:69-148 fixed assembly order TEXT→TABLES→IMAGES→LAYOUT→
+  ANNOTATIONS per page;
+- helpers.py:29,93-95 poison-line guard → quarantine rows, not skips.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pdf_parser_spark.config import DEFAULT_CONFIG, PipelineConfig
+from pdf_parser_spark.operators.exprs import is_blank, py_strip, strip_s
+
+TEXTISH = ("text", "heading")
+IMAGEISH = ("image", "figure")
+
+
+def explode_spans(docs: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """(doc_id, spans) → flat (doc_id, seq, kind, text, media_ref, offset,
+    error_kind).  ``error_kind`` null ⇒ valid span; 'empty_spans' rows mark
+    documents whose array is null/empty (posexplode_outer keeps them)."""
+    flat = docs.select(
+        "doc_id",
+        F.posexplode_outer("spans").alias("seq", "span"),
+    ).select(
+        "doc_id",
+        "seq",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+    known = list(cfg.known_kinds)
+    return flat.withColumn(
+        "error_kind",
+        F.when(F.col("seq").isNull(), F.lit("empty_spans"))
+        .when(~F.col("kind").isin(known), F.lit("unknown_kind"))
+        .when(
+            F.col("offset").isNull() | (F.col("offset") < 0),
+            F.lit("bad_offset"),
+        )
+        .when(
+            F.col("text").isNotNull()
+            & (F.length("text") > cfg.max_line_length),
+            F.lit("oversize_text"),
+        ),
+    )
+
+
+def quarantine_df(flat: DataFrame) -> DataFrame:
+    """Structured error rows (FIXTURES.md quarantine schema)."""
+    return flat.filter(F.col("error_kind").isNotNull()).select(
+        "doc_id",
+        F.col("seq").alias("span_seq"),
+        "error_kind",
+        F.when(F.col("error_kind") == "empty_spans",
+               F.lit("document has no spans"))
+        .when(F.col("error_kind") == "unknown_kind",
+              F.concat(F.lit("kind="), F.coalesce(F.col("kind"), F.lit("None"))))
+        .when(F.col("error_kind") == "bad_offset",
+              F.concat(F.lit("offset="),
+                       F.coalesce(F.col("offset").cast("string"), F.lit("None"))))
+        .otherwise(F.concat(F.lit("len="), F.length("text").cast("string")))
+        .alias("error_detail"),
+        F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 100).alias("raw"),
+    )
+
+
+def valid_spans(flat: DataFrame) -> DataFrame:
+    return flat.filter(F.col("error_kind").isNull()).drop("error_kind")
+
+
+def with_page(valid: DataFrame) -> DataFrame:
+    """Assign page = 1 + #page_breaks strictly before, in (offset, seq)
+    order (oracle derive_pages).  Inclusive running sum works because
+    non-break rows contribute 0."""
+    w = Window.partitionBy("doc_id").orderBy("offset", "seq")
+    is_break = F.when(F.col("kind") == "page_break", 1).otherwise(0)
+    return valid.withColumn("page", (F.sum(is_break).over(w) + 1).cast("int"))
+
+
+def _with_ids(spans: DataFrame) -> DataFrame:
+    """Per-page 1-based ids for images and tables (assembly numbering,
+    page_manager.py:95-112)."""
+    wp = (
+        Window.partitionBy("doc_id", "page")
+        .orderBy("offset", "seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return spans.withColumn(
+        "image_id",
+        F.sum(F.when(F.col("kind").isin(*IMAGEISH), 1).otherwise(0)).over(wp),
+    ).withColumn(
+        "table_id",
+        F.sum(F.when(F.col("kind") == "table", 1).otherwise(0)).over(wp),
+    )
+
+
+def _kind_rank() -> F.Column:
+    return (
+        F.when(F.col("kind").isin(*TEXTISH), 0)
+        .when(F.col("kind") == "table", 1)
+        .when(F.col("kind").isin(*IMAGEISH), 2)
+        .when(F.col("kind") == "layout_line", 3)
+        .otherwise(4)
+    )
+
+
+def _image_summary() -> F.Column:
+    """'Image {id}: {name} ({dims})' (page_manager.py:104-112)."""
+    return F.format_string(
+        "Image %d: %s (%s)",
+        F.col("image_id"),
+        F.coalesce(F.col("media_ref"), F.lit("unnamed")),
+        F.coalesce(F.nullif(strip_s(F.col("text")), F.lit("")), F.lit("0x0")),
+    )
+
+
+def _annotation_summary() -> F.Column:
+    """'Annotation ({type}): {content}' (page_manager.py:127-140)."""
+    return F.format_string(
+        "Annotation (%s): %s",
+        F.coalesce(F.col("media_ref"), F.lit("unknown")),
+        F.coalesce(F.col("text"), F.lit("")),
+    )
+
+
+def span_sequence_df(valid: DataFrame) -> DataFrame:
+    """Flagship W2: per-doc ordered main-content sequence.
+
+    Two-phase global ordering: page-local ``row_number`` over
+    ``(doc_id, page)`` (skew-spread) + running doc-level page-count offset
+    computed on a tiny (doc, page, cnt) aggregate — no whole-doc sort.
+    """
+    spans = _with_ids(with_page(valid))
+    content = spans.filter(F.col("kind") != "page_break")
+
+    keep = F.col("kind").isin(*IMAGEISH) | ~is_blank(F.col("text"))
+    kept = content.filter(keep)
+
+    out_text = (
+        F.when(F.col("kind").isin(*IMAGEISH), _image_summary())
+        .when(F.col("kind") == "annotation", _annotation_summary())
+        .otherwise(F.col("text"))
+    )
+    kept = kept.withColumn("out_text", out_text).withColumn(
+        "kind_rank", _kind_rank()
+    )
+
+    # phase 1: local order within (doc, page)
+    w_page = Window.partitionBy("doc_id", "page").orderBy(
+        "kind_rank", "offset", "seq"
+    )
+    kept = kept.withColumn("page_order", F.row_number().over(w_page))
+
+    # phase 2: running offset of per-page counts (tiny aggregate)
+    counts = kept.groupBy("doc_id", "page").agg(F.count("*").alias("cnt"))
+    w_doc = (
+        Window.partitionBy("doc_id")
+        .orderBy("page")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "page_offset", F.coalesce(F.sum("cnt").over(w_doc), F.lit(0))
+    ).select("doc_id", "page", "page_offset")
+
+    return (
+        kept.join(F.broadcast(offsets), ["doc_id", "page"])
+        .select(
+            "doc_id",
+            "seq",
+            "page",
+            "kind",
+            F.col("out_text").alias("text"),
+            "media_ref",
+            (F.col("page_offset") + F.col("page_order"))
+            .cast("int")
+            .alias("order"),
+        )
+    )
+
+
+def _sorted_structs(cond: F.Column, *fields: str) -> F.Column:
+    """collect_list(when(cond, struct(offset, seq, ...))) — nulls dropped
+    by collect_list, then array_sort orders by (offset, seq)."""
+    return F.array_sort(
+        F.collect_list(
+            F.when(cond, F.struct(F.col("offset"), F.col("seq"),
+                                  *[F.col(f) for f in fields]))
+        )
+    )
+
+
+def pages_df(valid: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """Per-(doc, page) records: raw text blob + comprehensive content
+    (page_manager.get_comprehensive_page_content, oracle parity).
+
+    Includes EMPTY pages (a page delimited by two adjacent breaks still
+    exists: reference total_pages = len(pages_data)).  Returns columns:
+    doc_id, page, total_pages, text, content.
+    """
+    spans = _with_ids(with_page(valid))
+    content_spans = spans.filter(F.col("kind") != "page_break")
+
+    is_textish = F.col("kind").isin(*TEXTISH)
+    is_table = F.col("kind") == "table"
+    is_image = F.col("kind").isin(*IMAGEISH)
+    is_layout = F.col("kind") == "layout_line"
+    is_annot = F.col("kind") == "annotation"
+    txt = F.coalesce(F.col("text"), F.lit(""))
+
+    grouped = content_spans.groupBy("doc_id", "page").agg(
+        # text blob: text/heading span texts joined in (offset, seq) order
+        F.array_join(
+            F.transform(
+                _sorted_structs(is_textish, "text"),
+                lambda s: F.coalesce(s["text"], F.lit("")),
+            ),
+            "\n",
+        ).alias("text"),
+        # tables: 'Table {id}:\n{repr}' for truthy reprs (empty-string
+        # dropped, whitespace kept — reference truthiness gate)
+        F.array_join(
+            F.transform(
+                _sorted_structs(is_table & (txt != ""), "table_id", "text"),
+                lambda s: F.format_string(
+                    "Table %d:\n%s", s["table_id"], s["text"]
+                ),
+            ),
+            "\n",
+        ).alias("table_content"),
+        F.count(F.when(is_table, 1)).alias("n_tables"),
+        # images: always summarized
+        F.array_join(
+            F.transform(
+                _sorted_structs(is_image, "image_id", "media_ref", "text"),
+                lambda s: F.format_string(
+                    "Image %d: %s (%s)",
+                    s["image_id"],
+                    F.coalesce(s["media_ref"], F.lit("unnamed")),
+                    F.coalesce(F.nullif(strip_s(s["text"]), F.lit("")),
+                               F.lit("0x0")),
+                ),
+            ),
+            "\n",
+        ).alias("image_content"),
+        F.count(F.when(is_image, 1)).alias("n_images"),
+        # layout: non-blank lines only
+        F.array_join(
+            F.transform(
+                _sorted_structs(is_layout & (py_strip(txt) != ""), "text"),
+                lambda s: s["text"],
+            ),
+            "\n",
+        ).alias("layout_content"),
+        F.count(F.when(is_layout, 1)).alias("n_layout"),
+        # annotations: non-blank contents only
+        F.array_join(
+            F.transform(
+                _sorted_structs(is_annot & (py_strip(txt) != ""),
+                                "media_ref", "text"),
+                lambda s: F.format_string(
+                    "Annotation (%s): %s",
+                    F.coalesce(s["media_ref"], F.lit("unknown")),
+                    F.coalesce(s["text"], F.lit("")),
+                ),
+            ),
+            "\n",
+        ).alias("annot_content"),
+        F.count(F.when(is_annot, 1)).alias("n_annots"),
+    )
+
+    # page skeleton 1..total_pages per doc (empty pages exist)
+    totals = valid.groupBy("doc_id").agg(
+        (
+            F.sum(F.when(F.col("kind") == "page_break", 1).otherwise(0)) + 1
+        ).cast("int").alias("total_pages")
+    )
+    skeleton = totals.select(
+        "doc_id",
+        "total_pages",
+        F.explode(F.sequence(F.lit(1), F.col("total_pages"))).alias("page"),
+    )
+
+    pg = skeleton.join(grouped, ["doc_id", "page"], "left").fillna(
+        {
+            "text": "",
+            "table_content": "",
+            "image_content": "",
+            "layout_content": "",
+            "annot_content": "",
+            "n_tables": 0,
+            "n_images": 0,
+            "n_layout": 0,
+            "n_annots": 0,
+        }
+    )
+
+    parts = F.array(
+        F.when(
+            py_strip(F.col("text")) != "",
+            F.concat(F.lit("=== TEXT CONTENT ===\n"), F.col("text")),
+        ),
+        F.when(
+            (F.col("n_tables") > 0) & (py_strip(F.col("table_content")) != ""),
+            F.concat(F.lit("=== TABLES ===\n"), F.col("table_content")),
+        ),
+        F.when(
+            F.col("n_images") > 0,
+            F.concat(F.lit("=== IMAGES ===\n"), F.col("image_content")),
+        ),
+        F.when(
+            (F.col("n_layout") > 0) & (py_strip(F.col("layout_content")) != ""),
+            F.concat(F.lit("=== LAYOUT TEXT ===\n"), F.col("layout_content")),
+        ),
+        F.when(
+            (F.col("n_annots") > 0) & (py_strip(F.col("annot_content")) != ""),
+            F.concat(F.lit("=== ANNOTATIONS ===\n"), F.col("annot_content")),
+        ),
+    )
+    return pg.withColumn(
+        "content",
+        F.array_join(F.filter(parts, lambda x: x.isNotNull()), "\n\n"),
+    ).select("doc_id", "page", "total_pages", "text", "content",
+             "n_tables", "n_images", "n_layout", "n_annots")

@@ -1,0 +1,51 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Single place where execution knobs live so tests/bench/driver all agree:
+- AQE on (runtime re-plan, skew-join splitting) — the Spark analog of the
+  reference's hand-rolled skew guard (helpers.py:29 1M-char line skip).
+- Arrow on — every pandas UDF crossing is Arrow-batched (input_hint:
+  "vectorized pandas/Arrow UDFs, zero per-row Python").
+- ANSI off — Spark 4 defaults to ANSI; the reference's semantics are
+  permissive Python (``int(s) if s.isdigit() else 0``), so we keep
+  non-ANSI + explicit try_cast/guard expressions.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "pdf_parser_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
+    shuffle_partitions = shuffle_partitions or int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
+    )
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        # parquet scan sizing: at 100 TB the default 128m is right; keep it
+        # explicit so it is a deliberate choice, not an accident.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    for key, value in (extra_conf or {}).items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
