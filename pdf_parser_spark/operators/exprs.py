@@ -8,6 +8,9 @@ native expressions match the oracle bit-for-bit.
 
 from __future__ import annotations
 
+from functools import reduce
+from operator import or_
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -15,7 +18,7 @@ from pyspark.sql import functions as F
 # Java \s is [ \t\n\x0B\f\r]; Python strips those plus unicode whitespace.
 # Fixtures are controlled, but CJK fixtures exist → use the Java-unicode
 # aware class \p{javaWhitespace} which matches Python's for our corpus.
-_WS = "[\s\u0085\u00A0\u1680\u2000-\u200A\u2028\u2029\u202F\u205F\u3000]"
+_WS = r"[\s\u0085\u00A0\u1680\u2000-\u200A\u2028\u2029\u202F\u205F\u3000]"
 
 
 def py_strip(col: Column) -> Column:
@@ -65,4 +68,98 @@ def words(col: Column) -> Column:
     stripped = py_strip(col)
     return F.when(stripped == "", F.array().cast("array<string>")).otherwise(
         F.split(stripped, r"\s+")
+    )
+
+
+def any_rlike(col: Column, patterns) -> Column:
+    """OR of ``re.search`` hits — Spark ``rlike`` is search, not match."""
+    return reduce(or_, (col.rlike(p) for p in patterns))
+
+
+def any_contains(col: Column, needles) -> Column:
+    """``any(n in s for n in needles)`` (plain substring containment)."""
+    return reduce(or_, (col.contains(n) for n in needles))
+
+
+def py_isupper(col: Column) -> Column:
+    """Python ``str.isupper()``: all cased chars upper AND >=1 cased char.
+
+    ASCII-faithful approximation (upper(s)==s and lower(s)!=s); exact for
+    the fixture corpus — parity is enforced by the oracle tests.
+    """
+    return (F.upper(col) == col) & (F.lower(col) != col)
+
+
+def is_technical_data(title: Column, technical_patterns) -> Column:
+    """reference toc_parser.py:268-293 ``__looks_like_technical_data``:
+    9 regex searches over ``title.lower().strip()`` plus the
+    short-with-digit rule."""
+    tl = F.lower(py_strip(F.coalesce(title, F.lit(""))))
+    short_with_digit = (F.length(py_strip(title)) < 10) & title.rlike("[0-9]")
+    return any_rlike(tl, technical_patterns) | short_with_digit
+
+
+def is_genuine_toc_entry(title: Column, keywords) -> Column:
+    """reference toc_parser.py:474-513 ``__looks_like_genuine_toc_entry``:
+    len 5..100, >=2 words, keyword whitelist OR Title-shape."""
+    tc = py_strip(F.coalesce(title, F.lit("")))
+    wlist = words(tc)
+    kw_hit = any_contains(F.lower(tc), keywords)
+    title_shape = (
+        F.substring(tc, 1, 1).rlike("^[A-Z]$")
+        & ~py_isupper(tc)
+        & (F.size(F.filter(wlist, lambda w: F.length(w) > 2)) >= 2)
+    )
+    return (
+        (F.length(tc) >= 5)
+        & (F.length(tc) <= 100)
+        & (F.size(wlist) >= 2)
+        & (kw_hit | title_shape)
+    )
+
+
+def is_high_quality_entry(
+    title: Column, page: Column, max_valid_page: int, technical_patterns
+) -> Column:
+    """reference toc_parser.py:236-266 ``__is_high_quality_entry``."""
+    t = F.coalesce(title, F.lit(""))
+    dots = F.length(t) - F.length(F.replace(t, F.lit("."), F.lit("")))
+    return (
+        (F.length(py_strip(t)) >= 5)
+        & (F.length(t) <= 120)
+        & page.between(1, max_valid_page)
+        & (dots <= 15)
+        & ~is_technical_data(t, technical_patterns)
+        & ~(digit_count(t).cast("double") > F.length(t) * 0.4)
+    )
+
+
+def toc_tags(title: Column, tag_rules) -> Column:
+    """reference toc_parser.py:352-379 ``__generate_tags``: keyword classes
+    in fixed order, first-match per class."""
+    low = F.lower(F.coalesce(title, F.lit("")))
+    arr = F.array(
+        *[
+            F.when(any_contains(low, kws), F.lit(tag))
+            for tag, kws in tag_rules
+        ]
+    )
+    return F.filter(arr, lambda x: x.isNotNull())
+
+
+def section_level(section_id: Column) -> Column:
+    """reference toc_parser.py:340-342: len(sid.split('.')); 1 when null."""
+    return (
+        F.when(section_id.isNull(), F.lit(1))
+        .otherwise(F.size(F.split(section_id, r"\.", -1)))
+        .cast("int")
+    )
+
+
+def section_parent(section_id: Column) -> Column:
+    """reference toc_parser.py:344-350: dotted prefix; null without dot."""
+    parts = F.split(section_id, r"\.", -1)
+    return F.when(
+        section_id.isNotNull() & section_id.contains("."),
+        F.array_join(F.slice(parts, F.lit(1), F.size(parts) - 1), "."),
     )

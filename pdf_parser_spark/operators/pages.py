@@ -279,6 +279,14 @@ def pages_df(valid: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFram
             "\n",
         ).alias("annot_content"),
         F.count(F.when(is_annot, 1)).alias("n_annots"),
+        # raw content lengths for the quality metrics (A4,
+        # coverage_calculator.py:140-214): table reprs + annotation contents
+        F.sum(F.when(is_table, F.length(txt)).otherwise(0)).alias(
+            "table_text_len"
+        ),
+        F.sum(F.when(is_annot, F.length(txt)).otherwise(0)).alias(
+            "annot_text_len"
+        ),
     )
 
     # page skeleton 1..total_pages per doc (empty pages exist)
@@ -304,6 +312,8 @@ def pages_df(valid: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFram
             "n_images": 0,
             "n_layout": 0,
             "n_annots": 0,
+            "table_text_len": 0,
+            "annot_text_len": 0,
         }
     )
 
@@ -333,4 +343,5 @@ def pages_df(valid: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFram
         "content",
         F.array_join(F.filter(parts, lambda x: x.isNotNull()), "\n\n"),
     ).select("doc_id", "page", "total_pages", "text", "content",
-             "n_tables", "n_images", "n_layout", "n_annots")
+             "n_tables", "n_images", "n_layout", "n_annots",
+             "table_text_len", "annot_text_len")

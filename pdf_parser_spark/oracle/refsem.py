@@ -873,6 +873,42 @@ def _natural_sections(
     return sections
 
 
+def content_section_pairs(
+    text: str, page_num: int, cfg: PipelineConfig = DEFAULT_CONFIG
+) -> List[Tuple[str, str]]:
+    """(title, content) pairs for one substantial uncovered page
+    (section_parser.py:256-312).  Shared by the oracle and the Spark
+    pandas-UDF stage so both pin identical semantics.  Caller applies the
+    ``len(text.strip()) > 100`` gate (section_parser.py:252-254)."""
+    natural = _natural_sections("", page_num, text)
+    if natural:
+        return [(s["title"], s["content"]) for s in natural]
+    paragraphs = [
+        p.strip()
+        for p in text.split("\n\n")
+        if len(p.strip()) > cfg.paragraph_min_len
+    ]
+    if paragraphs:
+        main = max(paragraphs, key=len)  # first max on ties
+        if len(main) < 200 and len(text.strip()) > len(main):
+            main = text.strip()[:1000]
+    else:
+        main = text.strip()[:1000]
+    heading = detect_enhanced_heading(main, page_num)
+    if not heading or len(heading) < 5:
+        low = text.lower()
+        if any(k in low for k in
+               ("usb", "power", "delivery", "voltage",
+                "current", "protocol")):
+            heading = f"USB Power Delivery Content - Page {page_num}"
+        elif any(k in low for k in
+                 ("specification", "requirement", "standard")):
+            heading = f"Technical Specification - Page {page_num}"
+        else:
+            heading = f"Document Content - Page {page_num}"
+    return [(heading, main)]
+
+
 def parse_sections(
     pages: List[Dict[str, Any]],
     toc_entries: List[Dict[str, Any]],
@@ -940,35 +976,9 @@ def parse_sections(
             continue
         text = pg["text"]
         if len(text.strip()) > cfg.substantial_content_len:
-            natural = _natural_sections(doc_title, page_num, text)
-            if natural:
-                content_sections.extend(natural)
-            else:
-                paragraphs = [
-                    p.strip()
-                    for p in text.split("\n\n")
-                    if len(p.strip()) > cfg.paragraph_min_len
-                ]
-                if paragraphs:
-                    main = max(paragraphs, key=len)  # first max on ties
-                    if len(main) < 200 and len(text.strip()) > len(main):
-                        main = text.strip()[:1000]
-                else:
-                    main = text.strip()[:1000]
-                heading = detect_enhanced_heading(main, page_num)
-                if not heading or len(heading) < 5:
-                    low = text.lower()
-                    if any(k in low for k in
-                           ("usb", "power", "delivery", "voltage",
-                            "current", "protocol")):
-                        heading = f"USB Power Delivery Content - Page {page_num}"
-                    elif any(k in low for k in
-                             ("specification", "requirement", "standard")):
-                        heading = f"Technical Specification - Page {page_num}"
-                    else:
-                        heading = f"Document Content - Page {page_num}"
+            for title, content in content_section_pairs(text, page_num, cfg):
                 content_sections.append(
-                    _build_page_section(doc_title, page_num, main, heading)
+                    _build_page_section(doc_title, page_num, content, title)
                 )
 
     all_sections = toc_sections + page_sections + content_sections
@@ -1003,4 +1013,140 @@ def run_document(
         "metadata": metadata,
         "toc": toc,
         "sections": sections,
+    }
+
+
+# ---------------------------------------------------------------------------
+# validation metrics (validation_report.py, coverage_calculator.py, A1-A11)
+# ---------------------------------------------------------------------------
+
+
+def _safe_pct(n: int, d: int) -> float:
+    """coverage_calculator.py:216-222 (Python round = banker's)."""
+    if d == 0:
+        return 0.0
+    return round(n / d * 100, 2)
+
+
+def doc_metrics(res: Dict[str, Any]) -> Dict[str, Any]:
+    """Per-document validation summary — the reference's one-PDF report
+    (validation_report.py:109-177, coverage_calculator.py:34-214,
+    main.py:234-268, section_parser.py:428-474) generalized to one row per
+    doc_id (SURVEY.md §2.4: at 10^12 docs the global metrics become
+    groupBy(doc_id))."""
+    pages = res["pages"]
+    toc = res["toc"]
+    sections = res["sections"]
+    meta = res["metadata"]
+    total_pages = len(pages)
+
+    # A1 basic counts + A11 metadata status (metadata_validator.py:20-55)
+    pages_with_text = sum(1 for p in pages if p["text"].strip())
+    required = ("doc_title", "revision", "version", "release_date")
+    meta_errors = [f for f in required if not meta.get(f)]
+    metadata_status = "Valid" if not meta_errors else "Invalid/Missing"
+
+    # A5 TOC covered pages (coverage_calculator.py:129-138, 224-258)
+    valid_entries = sorted(
+        (e for e in toc if isinstance(e.get("page"), int) and e["page"] > 0),
+        key=lambda x: x.get("page", 0),
+    )
+    covered: set = set()
+    for i, e in enumerate(valid_entries):
+        start = int(e.get("page", 0))
+        end = (
+            int(valid_entries[i + 1].get("page", 0)) - 1
+            if i + 1 < len(valid_entries)
+            else total_pages
+        )
+        covered.update(range(start, max(end, start) + 1))
+
+    # A3 comprehensive coverage (coverage_calculator.py:34-111)
+    n_text = sum(1 for p in pages if p["text"].strip())
+    n_tables = sum(1 for p in pages if p["tables"])
+    n_images = sum(1 for p in pages if p["images"])
+    n_annots = sum(1 for p in pages if p["annotations"])
+    n_layout = sum(1 for p in pages if p["layout_lines"])
+    text_cov = _safe_pct(n_text, total_pages)
+    table_cov = _safe_pct(n_tables, total_pages)
+    image_cov = _safe_pct(n_images, total_pages)
+    annot_cov = _safe_pct(n_annots, total_pages)
+    layout_cov = _safe_pct(n_layout, total_pages)
+    overall = (
+        text_cov * 0.4 + table_cov * 0.2 + image_cov * 0.2
+        + annot_cov * 0.1 + layout_cov * 0.1
+    )
+
+    # A4 content quality (coverage_calculator.py:140-214)
+    pages_with_content = 0
+    total_content_length = 0
+    content_types: set = set()
+    for p in pages:
+        has = False
+        plen = 0
+        if p["text"].strip():
+            has = True
+            plen += len(p["text"])
+            content_types.add("text")
+        if p["tables"]:
+            has = True
+            content_types.add("tables")
+            plen += sum(len(t["text_representation"] or "") for t in p["tables"])
+        if p["images"]:
+            has = True
+            content_types.add("images")
+        if p["annotations"]:
+            has = True
+            content_types.add("annotations")
+            plen += sum(len(a["content"] or "") for a in p["annotations"])
+        if has:
+            pages_with_content += 1
+            total_content_length += plen
+    avg_content_length = (
+        total_content_length / pages_with_content
+        if pages_with_content > 0
+        else 0.0
+    )
+
+    # A6 parsing coverage stats (section_parser.py:428-474)
+    toc_sections = sum(1 for s in sections if s.get("section_id"))
+    non_toc_sections = len(sections) - toc_sections
+    sections_with_tables = 0
+    sections_with_images = 0
+    total_sec_content_len = 0
+    sec_pages = set()
+    for s in sections:
+        sec_pages.add(s["page"])
+        c = s.get("content", "")
+        if c:
+            total_sec_content_len += len(c)
+            if "table" in c.lower() or "|" in c:
+                sections_with_tables += 1
+            if any(w in c.lower() for w in ("image", "figure", "diagram")):
+                sections_with_images += 1
+
+    return {
+        "metadata_status": metadata_status,
+        "total_toc_entries": len(toc),
+        "sections_parsed": len(sections),
+        "pages_with_text": pages_with_text,
+        "toc_covered_pages": len(covered),
+        "page_coverage_pct": _safe_pct(pages_with_text, total_pages),
+        "text_coverage": text_cov,
+        "table_coverage": table_cov,
+        "image_coverage": image_cov,
+        "annotation_coverage": annot_cov,
+        "layout_coverage": layout_cov,
+        "overall_coverage": overall,
+        "total_pages": total_pages,
+        "pages_with_content": pages_with_content,
+        "average_content_length": float(avg_content_length),
+        "content_diversity_score": len(content_types),
+        "extraction_completeness": _safe_pct(pages_with_content, total_pages),
+        "toc_sections": toc_sections,
+        "non_toc_sections": non_toc_sections,
+        "sections_with_tables": sections_with_tables,
+        "sections_with_images": sections_with_images,
+        "total_section_content_length": total_sec_content_len,
+        "section_pages_covered": len(sec_pages),
     }

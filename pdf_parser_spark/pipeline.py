@@ -1,0 +1,97 @@
+"""End-to-end pipeline — the Spark equivalent of the reference's five-step
+orchestrator (main.py:96-116):
+
+  1. span explode + quarantine + page derivation   (≙ PDF Text Extraction)
+  2. metadata extraction                            (≙ Metadata Extraction)
+  3. TOC parsing                                    (≙ TOC Parsing)
+  4. section assembly                               (≙ Section Parsing)
+  5. validation metrics                             (≙ Validation Report)
+
+Where the reference re-reads JSONL files between steps
+(main.py:194-202, section_parser.py:94-107 — SURVEY.md §2 S7), this build
+holds ONE cached pages DataFrame reused by steps 2-5 (SURVEY.md §4 P9).
+
+Scale: the input is read with its on-disk doc_id-range layout
+(fixtures/gen.write_parquet mirrors the production Iceberg bucketing);
+every per-doc stage shuffles on doc_id only, so AQE coalesces them onto
+one exchange, and mega-doc skew is spread by the (doc_id, page) windows
+inside pages.span_sequence_df (SURVEY.md §4 P6).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.storagelevel import StorageLevel
+
+from pdf_parser_spark.config import DEFAULT_CONFIG, PipelineConfig
+from pdf_parser_spark.operators import metadata as metadata_op
+from pdf_parser_spark.operators import metrics as metrics_op
+from pdf_parser_spark.operators import pages as pages_op
+from pdf_parser_spark.operators import sections as sections_op
+from pdf_parser_spark.operators import toc as toc_op
+from pdf_parser_spark.schemas import DOCUMENTS_SPANS
+
+
+@dataclass
+class PipelineResult:
+    quarantine: DataFrame
+    spans_out: DataFrame
+    pages: DataFrame
+    metadata: DataFrame
+    toc: DataFrame
+    sections: DataFrame
+    metrics: DataFrame
+
+    def unpersist(self) -> None:
+        self.pages.unpersist()
+
+
+def read_documents(spark: SparkSession, path: str) -> DataFrame:
+    """Read the interleaved-spans input table (BASELINE.json input_hint
+    shape) with the schema pinned — no inference pass."""
+    return spark.read.schema(DOCUMENTS_SPANS).parquet(path)
+
+
+def run_pipeline(
+    docs: DataFrame,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    cache: bool = True,
+) -> PipelineResult:
+    flat = pages_op.explode_spans(docs, cfg)
+    quarantine = pages_op.quarantine_df(flat)
+    valid = pages_op.valid_spans(flat)
+    spans_out = pages_op.span_sequence_df(valid)
+
+    pages = pages_op.pages_df(valid, cfg)
+    if cache:
+        # steps 2-5 all read pages; one materialization instead of the
+        # reference's three JSONL re-reads (S7)
+        pages = pages.persist(StorageLevel.MEMORY_AND_DISK)
+
+    metadata = metadata_op.metadata_df(docs, pages, cfg)
+    toc = toc_op.toc_entries_df(pages, metadata, cfg)
+    sections = sections_op.sections_df(pages, toc, metadata, cfg)
+    metrics = metrics_op.metrics_df(docs, pages, toc, sections, metadata)
+
+    return PipelineResult(
+        quarantine=quarantine,
+        spans_out=spans_out,
+        pages=pages,
+        metadata=metadata,
+        toc=toc,
+        sections=sections,
+        metrics=metrics,
+    )
+
+
+def write_outputs(result: PipelineResult, out_dir: str) -> None:
+    """Persist every stage table (the reference's JSONL sinks S3 → parquet;
+    Iceberg `append` in production)."""
+    result.quarantine.write.mode("overwrite").parquet(f"{out_dir}/quarantine")
+    result.spans_out.write.mode("overwrite").parquet(f"{out_dir}/spans_out")
+    result.metadata.write.mode("overwrite").parquet(f"{out_dir}/metadata")
+    result.toc.write.mode("overwrite").parquet(f"{out_dir}/toc")
+    result.sections.write.mode("overwrite").parquet(f"{out_dir}/sections")
+    result.metrics.write.mode("overwrite").parquet(f"{out_dir}/metrics")
