@@ -1,0 +1,125 @@
+"""Benchmark harness: headline queries + end-to-end extraction pipeline.
+
+Prints ONE JSON line:
+  {"metric": "documents/sec end-to-end extraction", "value": N,
+   "unit": "sec", "queries": {...per-query seconds...}, "sf": 0.1,
+   "docs": N, "cpus": N}
+
+Inputs:
+- relational queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+- the extraction pipeline on a deterministic fixture corpus
+  ($SPARK_GRAFT_BENCH_DOCS docs, seed 42) cached as parquet under
+  .bench_cache/ with doc_id-range layout (the production bucketing).
+
+Parallelism: local[$SPARK_GRAFT_CPUS] (default 32).  The N-vs-4N scaling
+evidence (BASELINE.json criterion) is produced by tools/scaling_bench.py,
+which runs this harness at two CPU counts on identical input.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+from pdf_parser_spark import driver_queries as dq  # noqa: E402
+from pdf_parser_spark.fixtures.gen import fixture_corpus, write_parquet  # noqa: E402
+from pdf_parser_spark.pipeline import read_documents, run_pipeline  # noqa: E402
+from pdf_parser_spark.session import get_spark  # noqa: E402
+
+RELATIONAL = [
+    "a1_tpch_pricing_summary",
+    "j1_broadcast_dim_join",
+    "j2_range_join",
+    "w1_lead_boundaries",
+    "w5_topk_per_group",
+    "dedup_minhash_signature",
+    "dedup_lsh_pairs",
+    "sim_cosine_topk",
+    "text_token_counts",
+]
+
+
+def ensure_corpus(spark, n_docs: int, mega_spans: int) -> str:
+    path = REPO / ".bench_cache" / f"corpus_{n_docs}_{mega_spans}"
+    marker = path / "_SUCCESS_LOCAL"
+    if not marker.exists():
+        if path.exists():
+            shutil.rmtree(path)
+        docs = fixture_corpus(n_docs=n_docs, mega_spans=mega_spans)
+        write_parquet(spark, docs, str(path), n_files=32)
+        marker.write_text("ok")
+    return str(path)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "4000"))
+    mega_spans = int(os.environ.get("SPARK_GRAFT_BENCH_MEGA", "20000"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+
+    spark = get_spark(
+        app_name="pdf_parser_spark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(2 * cpus, 8),
+    )
+
+    corpus_path = ensure_corpus(spark, n_docs, mega_spans)
+    docs = read_documents(spark, corpus_path)
+    total_docs = docs.count()
+
+    times: dict = {}
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        times[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # --- end-to-end extraction pipeline (the BASELINE.json metric) -------
+    def pipe():
+        r = run_pipeline(docs)
+        # force every output table (spans_out is the flagship; toc/
+        # sections/metrics are the remaining reference steps)
+        n = (
+            r.spans_out.count()
+            + r.toc.count()
+            + r.sections.count()
+            + r.metrics.count()
+            + r.quarantine.count()
+        )
+        r.unpersist()
+        return n
+
+    timed("pipeline_e2e", pipe)
+    docs_per_sec = round(total_docs / times["pipeline_e2e"], 2)
+
+    # --- relational/curation headline queries at sf_dir ------------------
+    all_q = dq.queries()
+    for name in RELATIONAL:
+        timed(name, lambda n=name: all_q[n](spark, sf_dir).count())
+
+    print(
+        json.dumps(
+            {
+                "metric": "documents/sec end-to-end extraction",
+                "value": docs_per_sec,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+                "docs": total_docs,
+                "cpus": cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,1121 @@
+"""Driver-contract query registry: SURVEY.md §2 operators re-expressed
+over the /root/testdata tables, each paired with an ANSI-SQL DuckDB oracle.
+
+Engine-portability rules (so value-hashes match bit-for-bit):
+- hashes are md5 (identical hex in both engines)
+- monetary sums go through DECIMAL(18,2) then cast to double (exact)
+- float ratios derive from integer aggregates (one deterministic division)
+- floating scores are rounded; ties in top-k break on an id column
+- regexes restrict to the Java∩RE2 common subset
+
+Each entry: name -> (callable(spark, sf_dir) -> DataFrame, oracle_sql|None).
+Names reference the SURVEY §2 operator ids they exercise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pdf_parser_spark.functions import dedup as dd
+from pdf_parser_spark.functions import similarity as sim
+from pdf_parser_spark.functions import textstats as ts
+
+QUERIES: dict = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def q(name: str, sql: str | None):
+    def wrap(fn):
+        QUERIES[name] = (fn, sql)
+        return fn
+
+    return wrap
+
+
+# ---------------------------------------------------------------------------
+# filters / projections (SURVEY §2.2)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "f1_page_prune",
+    """SELECT event_type, count(*) AS n FROM events
+       WHERE event_id <= 60 GROUP BY event_type""",
+)
+def f1_page_prune(spark, sf_dir):
+    """F1/S2: constant-predicate prune pushed to the scan."""
+    return (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") <= 60)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
+    "f2_nonblank_text",
+    """SELECT lang, count(*) AS n_docs,
+              sum(CASE WHEN trim(text) <> '' THEN 1 ELSE 0 END) AS n_nonblank
+       FROM documents GROUP BY lang""",
+)
+def f2_nonblank_text(spark, sf_dir):
+    """F2: pages-with-text predicate (validation_report.py:147-149)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(
+                F.when(F.trim("text") != "", 1).otherwise(0)
+            ).alias("n_nonblank"),
+        )
+    )
+
+
+@q(
+    "f4_quality_gates",
+    """SELECT doc_id, n_chars FROM documents
+       WHERE length(text) >= 5 AND length(text) <= 10000
+         AND (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+             <= 0.4 * length(text)
+         AND (length(text) - length(replace(text, '.', ''))) <= 15""",
+)
+def f4_quality_gates(spark, sf_dir):
+    """F4: length band + digit-ratio + dot-count gates
+    (toc_parser.py:236-266)."""
+    t = F.col("text")
+    digits = F.length(t) - F.length(F.regexp_replace(t, "[0-9]", ""))
+    dots = F.length(t) - F.length(F.replace(t, F.lit("."), F.lit("")))
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(
+            F.length(t).between(5, 10000)
+            & (digits.cast("double") <= F.length(t) * 0.4)
+            & (dots <= 15)
+        )
+        .select("doc_id", "n_chars")
+    )
+
+
+@q(
+    "f5_technical_reject",
+    """SELECT source, count(*) AS n_technical FROM documents
+       WHERE regexp_matches(lower(text), '^[0-9]+ [0-9]+ [0-9]+')
+          OR regexp_matches(lower(text), 'hash [0-9]')
+          OR regexp_matches(lower(text), 'dup dup')
+       GROUP BY source""",
+)
+def f5_technical_reject(spark, sf_dir):
+    """F5: technical-data regex battery (toc_parser.py:268-293 shape)."""
+    low = F.lower(F.col("text"))
+    cond = (
+        low.rlike("^[0-9]+ [0-9]+ [0-9]+")
+        | low.rlike("hash [0-9]")
+        | low.rlike("dup dup")
+    )
+    return (
+        _t(spark, sf_dir, "documents")
+        .filter(cond)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_technical"))
+    )
+
+
+@q(
+    "f13_required_fields",
+    """SELECT doc_id,
+              (CASE WHEN lang IS NULL OR lang = '' THEN 1 ELSE 0 END
+             + CASE WHEN source IS NULL OR source = '' THEN 1 ELSE 0 END
+             + CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END)
+              AS n_errors
+       FROM documents""",
+)
+def f13_required_fields(spark, sf_dir):
+    """F13: required-field validation → structured error count
+    (metadata_validator.py:49-55)."""
+
+    def missing(c):
+        return F.when(
+            F.col(c).isNull() | (F.col(c) == ""), 1
+        ).otherwise(0)
+
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (missing("lang") + missing("source") + missing("text")).alias(
+            "n_errors"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# scalar / regex functions (SURVEY §2.8)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "x3_regex_extract",
+    """SELECT event_type, count(*) AS n,
+              sum(CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT))
+                  AS k_sum
+       FROM events GROUP BY event_type""",
+)
+def x3_regex_extract(spark, sf_dir):
+    """X3: regex field extraction from a text blob
+    (metadata_parser.py:117-129)."""
+    k = F.regexp_extract("props", "([0-9]+)", 1).cast("long")
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum(k).alias("k_sum"))
+    )
+
+
+@q(
+    "x7_x8_level_parent",
+    """SELECT p_partkey,
+              replace(p_type, ' ', '.') AS sid,
+              CAST(length(p_type) - length(replace(p_type, ' ', '')) + 1
+                   AS INT) AS level,
+              CASE WHEN p_type LIKE '% %'
+                   THEN regexp_replace(replace(p_type, ' ', '.'),
+                                       '\\.[^.]*$', '')
+              END AS parent_id
+       FROM part""",
+)
+def x7_x8_level_parent(spark, sf_dir):
+    """X7/X8: dotted section-id level & parent derivation
+    (toc_parser.py:340-350) over synthesized ids."""
+    sid = F.replace(F.col("p_type"), F.lit(" "), F.lit("."))
+    level = (
+        F.length("p_type")
+        - F.length(F.replace(F.col("p_type"), F.lit(" "), F.lit("")))
+        + 1
+    ).cast("int")
+    parent = F.when(
+        F.col("p_type").contains(" "),
+        F.regexp_replace(sid, r"\.[^.]*$", ""),
+    )
+    return _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        sid.alias("sid"),
+        level.alias("level"),
+        parent.alias("parent_id"),
+    )
+
+
+@q(
+    "x9_tags",
+    """SELECT doc_id,
+              concat_ws(',',
+                CASE WHEN lower(text) LIKE '%table%'
+                       OR lower(text) LIKE '%figure%'
+                     THEN 'visual_content' END,
+                CASE WHEN lower(text) LIKE '%spec%'
+                       OR lower(text) LIKE '%standard%'
+                     THEN 'specification' END,
+                CASE WHEN lower(text) LIKE '%reference%'
+                     THEN 'reference' END) AS tags_str
+       FROM documents""",
+)
+def x9_tags(spark, sf_dir):
+    """X9: keyword-class tag generation (toc_parser.py:352-379)."""
+    low = F.lower(F.col("text"))
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            ",",
+            F.when(
+                low.contains("table") | low.contains("figure"),
+                F.lit("visual_content"),
+            ),
+            F.when(
+                low.contains("spec") | low.contains("standard"),
+                F.lit("specification"),
+            ),
+            F.when(low.contains("reference"), F.lit("reference")),
+        ).alias("tags_str"),
+    )
+
+
+@q(
+    "x11_page_number_parse",
+    """SELECT CASE WHEN regexp_matches(regexp_extract(props,
+                       '"k": ([0-9]+)', 1), '^[0-9]+$')
+                   THEN CAST(regexp_extract(props, '"k": ([0-9]+)', 1)
+                             AS INT)
+                   ELSE 0 END AS k_val,
+              count(*) AS n
+       FROM events GROUP BY 1""",
+)
+def x11_page_number_parse(spark, sf_dir):
+    """X11: int(s) if digits else 0 (toc_parser.py:336-338)."""
+    s = F.regexp_extract("props", '"k": ([0-9]+)', 1)
+    k = F.when(s.rlike("^[0-9]+$"), s.cast("int")).otherwise(0)
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(k.alias("k_val"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
+    "x12_confidence_score",
+    """SELECT CAST(round(
+                (CASE WHEN lower(text) LIKE '%overview%'
+                        OR lower(text) LIKE '%summary%' THEN 0.3
+                      ELSE 0.0 END)
+              + (CASE WHEN text LIKE '%  %' OR text LIKE '%..%' THEN 0.2
+                      ELSE 0.0 END)
+              + (CASE WHEN length(string_split_regex(trim(text), '\\s+'))
+                           BETWEEN 2 AND 15 THEN 0.2 ELSE 0.0 END)
+              + (CASE WHEN regexp_matches(text, '(^| )[A-Z]') THEN 0.1
+                      ELSE 0.0 END), 2) AS DOUBLE) AS confidence,
+              count(*) AS n
+       FROM documents GROUP BY 1""",
+)
+def x12_confidence_score(spark, sf_dir):
+    """X12: additive confidence scoring (toc_parser.py:589-618 shape)."""
+    t = F.col("text")
+    low = F.lower(t)
+    nwords = F.size(F.split(F.trim(t), r"\s+"))
+    score = (
+        F.when(
+            low.contains("overview") | low.contains("summary"), F.lit(0.3)
+        ).otherwise(F.lit(0.0))
+        + F.when(
+            t.contains("  ") | t.contains(".."), F.lit(0.2)
+        ).otherwise(F.lit(0.0))
+        + F.when(nwords.between(2, 15), F.lit(0.2)).otherwise(F.lit(0.0))
+        + F.when(t.rlike("(^| )[A-Z]"), F.lit(0.1)).otherwise(F.lit(0.0))
+    )
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy(F.round(score, 2).alias("confidence"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
+    "o4_truncation",
+    "SELECT doc_id, substr(text, 1, 50) AS head FROM documents",
+)
+def o4_truncation(spark, sf_dir):
+    """O4: content truncation text[:N] (section_parser.py:292-294)."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 50).alias("head")
+    )
+
+
+@q(
+    "a10_longest_token",
+    """SELECT doc_id,
+              list_max(list_transform(string_split(text, ' '),
+                                      w -> length(w))) AS max_word_len,
+              CAST(length(string_split(text, ' ')) AS BIGINT) AS n_words
+       FROM documents""",
+)
+def a10_longest_token(spark, sf_dir):
+    """A10: max-by-length element selection (section_parser.py:286-294)."""
+    wsplit = F.split(F.col("text"), " ", -1)
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_max(
+            F.transform(wsplit, lambda w: F.length(w))
+        ).alias("max_word_len"),
+        F.size(wsplit).cast("long").alias("n_words"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# windows (SURVEY §2.5)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "w1_lead_boundaries",
+    """SELECT user_id, count(*) AS n_events, sum(gap_ms) AS total_gap_ms
+       FROM (
+         SELECT user_id,
+                epoch_ms(lead(ts) OVER (PARTITION BY user_id ORDER BY ts,
+                                        event_id))
+                - epoch_ms(ts) AS gap_ms
+         FROM events) g
+       GROUP BY user_id""",
+)
+def w1_lead_boundaries(spark, sf_dir):
+    """W1: as-of boundary via lead() (toc_processor.py:59-75)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet timestamps load as TIMESTAMP_NTZ; cast for unix_millis
+    # (session TZ pinned to UTC → same epoch values as DuckDB epoch_ms)
+    gap = F.unix_millis(
+        F.lead("ts").over(w).cast("timestamp")
+    ) - F.unix_millis(F.col("ts").cast("timestamp"))
+    return (
+        _t(spark, sf_dir, "events")
+        .select("user_id", gap.alias("gap_ms"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("gap_ms").alias("total_gap_ms"),
+        )
+    )
+
+
+@q(
+    "w3_first_wins_dedup",
+    """SELECT lang, n_chars, min(doc_id) AS keep_id, count(*) AS n_dups
+       FROM documents GROUP BY lang, n_chars""",
+)
+def w3_first_wins_dedup(spark, sf_dir):
+    """W3: first-wins dedup per key (toc_parser.py:667-682) — the window
+    formulation; the oracle states the equivalent min-per-group."""
+    w = Window.partitionBy("lang", "n_chars").orderBy("doc_id")
+    return (
+        _t(spark, sf_dir, "documents")
+        .withColumn("rn", F.row_number().over(w))
+        .groupBy("lang", "n_chars")
+        .agg(
+            F.min(F.when(F.col("rn") == 1, F.col("doc_id"))).alias(
+                "keep_id"
+            ),
+            F.count("*").alias("n_dups"),
+        )
+    )
+
+
+@q(
+    "w5_topk_per_group",
+    """SELECT o_custkey, o_orderkey, rn FROM (
+         SELECT o_custkey, o_orderkey,
+                row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey)
+                    AS rn
+         FROM orders) t WHERE rn <= 3""",
+)
+def w5_topk_per_group(spark, sf_dir):
+    """W5/O1: per-group ordered top-k via row_number
+    (section_parser.py:216-223 analog)."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# joins (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "j1_broadcast_dim_join",
+    """SELECT p.p_brand, count(*) AS n_items,
+              CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)))
+                   AS DOUBLE) AS revenue
+       FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+       GROUP BY p.p_brand""",
+)
+def j1_broadcast_dim_join(spark, sf_dir):
+    """J1: broadcast hash join on a small dimension
+    (page_manager.py:150-159 analog).  Decimal-exact revenue."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+@q(
+    "j2_range_join",
+    """SELECT w.o_orderkey AS window_key, count(l.l_orderkey) AS n_shipped
+       FROM (SELECT o_orderkey, o_orderdate,
+                    o_orderdate + INTERVAL 30 DAY AS o_end
+             FROM orders WHERE o_orderkey % 199 = 0) w
+       LEFT JOIN lineitem l
+         ON l.l_shipdate >= w.o_orderdate AND l.l_shipdate <= w.o_end
+       GROUP BY w.o_orderkey""",
+)
+def j2_range_join(spark, sf_dir):
+    """J2: range join — rows falling in [start, end] windows
+    (section_parser.py:156-172 page-range analog); window side broadcast."""
+    w = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 199 == 0)
+        .select(
+            F.col("o_orderkey").alias("window_key"),
+            F.col("o_orderdate").alias("w_start"),
+            (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias(
+                "w_end"
+            ),
+        )
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        F.broadcast(w)
+        .join(
+            li,
+            (li["l_shipdate"] >= w["w_start"])
+            & (li["l_shipdate"] <= w["w_end"]),
+            "left",
+        )
+        .groupBy("window_key")
+        .agg(F.count("l_orderkey").alias("n_shipped"))
+    )
+
+
+@q(
+    "j3_anti_join",
+    """SELECT c.c_nationkey, count(*) AS n_customers_no_orders
+       FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey
+                           AND o.o_totalprice > 300000)
+       GROUP BY c.c_nationkey""",
+)
+def j3_anti_join(spark, sf_dir):
+    """J3: uncovered-rows anti-join (section_parser.py:174-193) —
+    customers with no high-value order."""
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return (
+        c.join(o, "c_custkey", "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_customers_no_orders"))
+    )
+
+
+@q(
+    "j5_semi_join",
+    """SELECT c.c_mktsegment, count(*) AS n_active FROM customer c
+       WHERE EXISTS (SELECT 1 FROM orders o
+                     WHERE o.o_custkey = c.c_custkey)
+       GROUP BY c.c_mktsegment""",
+)
+def j5_semi_join(spark, sf_dir):
+    """J5: already-covered skip as a semi join
+    (section_parser.py:244-249)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return (
+        c.join(o, "c_custkey", "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_active"))
+    )
+
+
+@q(
+    "j6_scalar_broadcast",
+    """SELECT o_orderpriority, count(*) AS n_above FROM orders,
+            (SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                         AS DOUBLE) / count(*) AS avg_price FROM orders) g
+       WHERE o_totalprice > g.avg_price
+       GROUP BY o_orderpriority""",
+)
+def j6_scalar_broadcast(spark, sf_dir):
+    """J6: 1-row aggregate cross-joined as a broadcast scalar
+    (main.py:204-210 doc_title injection analog)."""
+    o = _t(spark, sf_dir, "orders")
+    g = o.agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+                "double"
+            )
+            / F.count("*")
+        ).alias("avg_price")
+    )
+    return (
+        o.crossJoin(F.broadcast(g))
+        .filter(F.col("o_totalprice") > F.col("avg_price"))
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_above"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# set ops & aggregations (SURVEY §2.4, §2.7)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "u1_union_distinct",
+    """SELECT o_orderstatus, count(*) AS n FROM (
+         SELECT DISTINCT * FROM (
+           SELECT o_orderkey, o_orderstatus FROM orders
+           WHERE o_totalprice > 200000
+           UNION ALL
+           SELECT o_orderkey, o_orderstatus FROM orders
+           WHERE o_orderpriority = '1-URGENT') u) d
+       GROUP BY o_orderstatus""",
+)
+def u1_union_distinct(spark, sf_dir):
+    """U1/U2: schema-aligned union + set semantics
+    (section_parser.py:118-132)."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_totalprice") > 200000).select(
+        "o_orderkey", "o_orderstatus"
+    )
+    b = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    return (
+        a.unionByName(b)
+        .distinct()
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
+    "u2_distinct_days",
+    """SELECT event_type, count(DISTINCT date_trunc('day', ts)) AS n_days
+       FROM events GROUP BY event_type""",
+)
+def u2_distinct_days(spark, sf_dir):
+    """U2: covered-set cardinality (toc_processor.py:41-52 analog)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.countDistinct(F.date_trunc("day", F.col("ts"))).alias(
+                "n_days"
+            )
+        )
+    )
+
+
+@q(
+    "u3_distinct_words",
+    """SELECT doc_id,
+              CAST(length(list_distinct(string_split(text, ' ')))
+                   AS BIGINT) AS n_distinct_words
+       FROM documents""",
+)
+def u3_distinct_words(spark, sf_dir):
+    """U3: order-preserving distinct over arrays (extractor.py:195-238)."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.array_distinct(F.split(F.col("text"), " ", -1)))
+        .cast("long")
+        .alias("n_distinct_words"),
+    )
+
+
+@q(
+    "a2_safe_percentage",
+    """SELECT lang,
+              CAST(CASE WHEN count(*) = 0 THEN 0.0
+                   ELSE round(100.0
+                        * sum(CASE WHEN n_chars > 100 THEN 1 ELSE 0 END)
+                        / count(*), 2) END AS DOUBLE) AS pct_long
+       FROM documents GROUP BY lang""",
+)
+def a2_safe_percentage(spark, sf_dir):
+    """A2: safe percentage round(100*n/d, 2)
+    (coverage_calculator.py:216-222)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.when(F.count("*") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.lit(100.0)
+                    * F.sum(
+                        F.when(F.col("n_chars") > 100, 1).otherwise(0)
+                    )
+                    / F.count("*"),
+                    2,
+                )
+            )
+            .alias("pct_long")
+        )
+    )
+
+
+@q(
+    "a3_weighted_coverage",
+    """SELECT source,
+              round(0.4 * round(100.0 * sum(CASE WHEN trim(text) <> ''
+                          THEN 1 ELSE 0 END) / count(*), 2)
+                  + 0.2 * round(100.0 * sum(CASE WHEN n_chars > 120
+                          THEN 1 ELSE 0 END) / count(*), 2)
+                  + 0.2 * round(100.0 * sum(CASE WHEN text LIKE '%table%'
+                          THEN 1 ELSE 0 END) / count(*), 2)
+                  + 0.1 * round(100.0 * sum(CASE WHEN text LIKE '%join%'
+                          THEN 1 ELSE 0 END) / count(*), 2)
+                  + 0.1 * round(100.0 * sum(CASE WHEN lang = 'en'
+                          THEN 1 ELSE 0 END) / count(*), 2), 4)::DOUBLE
+                  AS overall_coverage
+       FROM documents GROUP BY source""",
+)
+def a3_weighted_coverage(spark, sf_dir):
+    """A3: five facet percentages → weighted overall .4/.2/.2/.1/.1
+    (coverage_calculator.py:34-111)."""
+
+    def pct(cond):
+        return F.round(
+            F.lit(100.0)
+            * F.sum(F.when(cond, 1).otherwise(0))
+            / F.count("*"),
+            2,
+        )
+
+    t = F.col("text")
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.round(
+                pct(F.trim(t) != "") * 0.4
+                + pct(F.col("n_chars") > 120) * 0.2
+                + pct(t.contains("table")) * 0.2
+                + pct(t.contains("join")) * 0.1
+                + pct(F.col("lang") == "en") * 0.1,
+                4,
+            ).alias("overall_coverage")
+        )
+    )
+
+
+@q(
+    "a4_content_quality",
+    """SELECT lang, count(*) AS n_docs,
+              sum(CASE WHEN trim(text) <> '' THEN 1 ELSE 0 END)
+                  AS docs_with_content,
+              round(CAST(sum(n_chars) AS DOUBLE)
+                    / sum(CASE WHEN trim(text) <> '' THEN 1 ELSE 0 END), 4)
+                  AS avg_len,
+              count(DISTINCT source) AS diversity
+       FROM documents GROUP BY lang""",
+)
+def a4_content_quality(spark, sf_dir):
+    """A4: content-quality aggregate (coverage_calculator.py:140-214)."""
+    has = F.trim("text") != ""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(has.cast("long")).alias("docs_with_content"),
+            F.round(
+                F.sum("n_chars").cast("double")
+                / F.sum(has.cast("long")),
+                4,
+            ).alias("avg_len"),
+            F.countDistinct("source").alias("diversity"),
+        )
+    )
+
+
+@q(
+    "a1_tpch_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+              CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+              CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                   AS DOUBLE) AS sum_base_price,
+              count(*) AS count_order
+       FROM lineitem
+       WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+       GROUP BY l_returnflag, l_linestatus""",
+)
+def a1_tpch_pricing_summary(spark, sf_dir):
+    """A1: grouped counts/sums at TPC-H Q1 shape — partial aggregation +
+    single shuffle on the group key."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast(
+            "timestamp"
+        ))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_base_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data curation ops (dedup / similarity / text analysis)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "dedup_exact",
+    """SELECT content_hash, min(id) AS keep_id, count(*) AS n_dups FROM (
+         SELECT doc_id AS id,
+                md5(regexp_replace(lower(trim(substr(text, 1, 20))),
+                                   '\\s+', ' ', 'g')) AS content_hash
+         FROM documents) h
+       GROUP BY content_hash HAVING count(*) > 1""",
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on normalized content (20-char head —
+    the corpus has no full-text duplicates, so dedup the head prefix to
+    exercise non-empty duplicate groups)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 20).alias("text")
+    )
+    return dd.exact_duplicates(docs)
+
+
+_MINHASH_SQL = """
+WITH norm AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                      ' ') AS ws
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(1, greatest(length(ws) - 2, 1)),
+           i -> array_to_string(ws[i:i+2], ' ')) AS shingles
+  FROM norm)
+SELECT doc_id,
+       list_min(list_transform(shingles, s -> md5(s || ':0'))) AS sig0,
+       list_min(list_transform(shingles, s -> md5(s || ':1'))) AS sig1,
+       list_min(list_transform(shingles, s -> md5(s || ':2'))) AS sig2,
+       list_min(list_transform(shingles, s -> md5(s || ':3'))) AS sig3
+FROM sh
+"""
+
+
+@q("dedup_minhash_signature", _MINHASH_SQL)
+def dedup_minhash_signature(spark, sf_dir):
+    """MinHash signatures (4 hashes, 3-word shingles) — md5-portable."""
+    sigs = dd.minhash_df(
+        _t(spark, sf_dir, "documents"), n_hashes=4, k=3
+    )
+    return sigs.select(
+        F.col("id").alias("doc_id"),
+        F.col("sig")[0].alias("sig0"),
+        F.col("sig")[1].alias("sig1"),
+        F.col("sig")[2].alias("sig2"),
+        F.col("sig")[3].alias("sig3"),
+    )
+
+
+_LSH_PAIRS_SQL = f"""
+WITH sigs AS ({_MINHASH_SQL}),
+bands AS (
+  SELECT doc_id, 0 AS band_idx, md5(sig0 || '|' || sig1) AS band_key
+  FROM sigs
+  UNION ALL
+  SELECT doc_id, 1 AS band_idx, md5(sig2 || '|' || sig3) AS band_key
+  FROM sigs)
+SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+FROM bands l JOIN bands r
+  ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+ AND l.doc_id < r.doc_id
+"""
+
+
+@q("dedup_lsh_pairs", _LSH_PAIRS_SQL)
+def dedup_lsh_pairs(spark, sf_dir):
+    """MinHash-LSH near-duplicate candidate pairs (2 bands × 2 rows)."""
+    return dd.lsh_candidate_pairs(
+        _t(spark, sf_dir, "documents"), n_hashes=4, k=3, n_bands=2
+    ).select(
+        F.col("id_a").alias("id_a"), F.col("id_b").alias("id_b")
+    )
+
+
+_JACCARD_SQL = f"""
+WITH pairs AS ({_LSH_PAIRS_SQL}),
+norm AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                      ' ') AS ws
+  FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+           generate_series(1, greatest(length(ws) - 2, 1)),
+           i -> array_to_string(ws[i:i+2], ' ')))) AS shingle
+  FROM norm),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT p.id_a, p.id_b, count(*) AS n_inter
+  FROM pairs p
+  JOIN sh a ON a.doc_id = p.id_a
+  JOIN sh b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+  GROUP BY p.id_a, p.id_b)
+SELECT i.id_a, i.id_b,
+       round(CAST(i.n_inter AS DOUBLE) / (sa.n + sb.n - i.n_inter), 6)
+           AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+"""
+
+
+@q("dedup_ngram_jaccard", _JACCARD_SQL)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard on the LSH candidate pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dd.lsh_candidate_pairs(docs, n_hashes=4, k=3, n_bands=2)
+    return dd.ngram_jaccard_pairs(docs, pairs, k=3)
+
+
+@q(
+    "sim_cosine_topk",
+    """WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE))
+                      AS qv
+                  FROM embeddings WHERE vec_id = 0)
+       SELECT vec_id AS id,
+              round(list_dot_product(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE)), q.qv)
+                    / (sqrt(list_dot_product(list_transform(embedding,
+                          x -> CAST(x AS DOUBLE)),
+                          list_transform(embedding,
+                          x -> CAST(x AS DOUBLE))))
+                       * sqrt(list_dot_product(q.qv, q.qv))), 6) AS score
+       FROM embeddings, q
+       ORDER BY score DESC, id LIMIT 10""",
+)
+def sim_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 vs the vec_id=0 embedding (rounded,
+    id-tie-broken → engine-deterministic)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    qvec = emb.filter(F.col("vec_id") == 0).head()["embedding"]
+    return sim.cosine_topk(emb, qvec, k=10)
+
+
+@q(
+    "text_token_counts",
+    """SELECT doc_id,
+              CAST(CASE WHEN trim(text) = '' THEN 0
+                   ELSE length(string_split_regex(trim(text), '\\s+'))
+                   END AS BIGINT) AS ws_tokens,
+              CAST(length(regexp_extract_all(text,
+                   '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+                  AS bpe_tokens
+       FROM documents""",
+)
+def text_token_counts(spark, sf_dir):
+    """Token counting: whitespace + BPE-ish regex."""
+    t = F.col("text")
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        ts.whitespace_token_count(t).alias("ws_tokens"),
+        ts.bpe_token_count(t).alias("bpe_tokens"),
+    )
+
+
+@q(
+    "text_fingerprint",
+    """SELECT doc_id,
+              md5(array_to_string(
+                (string_split_regex(lower(trim(text)), '\\s+'))[1:8], ' '))
+                  AS fingerprint
+       FROM documents""",
+)
+def text_fingerprint(spark, sf_dir):
+    """Document fingerprinting: md5 of the normalized 8-word head."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", ts.fingerprint(F.col("text")).alias("fingerprint")
+    )
+
+
+@q(
+    "text_lang_id",
+    """SELECT doc_id,
+       CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'unknown'
+            WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+            WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+            WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+            ELSE 'fr' END AS lang_guess
+       FROM (
+         SELECT doc_id,
+           length(regexp_extract_all(lower(text), '\\bder\\b'))
+         + length(regexp_extract_all(lower(text), '\\bund\\b'))
+         + length(regexp_extract_all(lower(text), '\\bdie\\b')) AS s_de,
+           length(regexp_extract_all(lower(text), '\\bthe\\b'))
+         + length(regexp_extract_all(lower(text), '\\band\\b'))
+         + length(regexp_extract_all(lower(text), '\\bof\\b')) AS s_en,
+           length(regexp_extract_all(lower(text), '\\bel\\b'))
+         + length(regexp_extract_all(lower(text), '\\bde\\b'))
+         + length(regexp_extract_all(lower(text), '\\blas\\b')) AS s_es,
+           length(regexp_extract_all(lower(text), '\\ble\\b'))
+         + length(regexp_extract_all(lower(text), '\\bet\\b'))
+         + length(regexp_extract_all(lower(text), '\\bles\\b')) AS s_fr
+         FROM documents) s""",
+)
+def text_lang_id(spark, sf_dir):
+    """Language-ID heuristic: stopword-marker argmax."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", ts.lang_id(F.col("text")).alias("lang_guess")
+    )
+
+
+@q(
+    "text_quality_score",
+    """SELECT quality, count(*) AS n FROM (
+         SELECT CAST(round(least(
+             CASE WHEN length(text) BETWEEN 100 AND 20000
+                  THEN 0.3 ELSE 0.0 END
+           + CASE WHEN length(regexp_extract_all(text, '[.,;:!?]')) * 20
+                       >= ws AND
+                       length(regexp_extract_all(text, '[.,;:!?]')) * 2
+                       <= ws
+                  THEN 0.3 ELSE 0.0 END
+           + CASE WHEN length(regexp_extract_all(lower(text), '\\bthe\\b'))
+                     + length(regexp_extract_all(lower(text), '\\band\\b'))
+                     + length(regexp_extract_all(lower(text), '\\bof\\b'))
+                       > 0 THEN 0.2 ELSE 0.0 END
+           + CASE WHEN ws > 0
+                   AND (length(text) - ws + 1) * 2 >= ws * 7
+                   AND (length(text) - ws + 1) <= ws * 12
+                  THEN 0.2 ELSE 0.0 END, 1.0), 2) AS DOUBLE) AS quality
+         FROM (SELECT text,
+                      CAST(CASE WHEN trim(text) = '' THEN 0
+                           ELSE length(string_split_regex(trim(text),
+                                                          '\\s+'))
+                           END AS BIGINT) AS ws
+               FROM documents) w) s
+       GROUP BY quality""",
+)
+def text_quality_score(spark, sf_dir):
+    """Quality scoring histogram (length/punct/stopword/word-shape)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy(ts.quality_score(F.col("text")).alias("quality"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def queries():
+    return {name: fn for name, (fn, _) in QUERIES.items()}
+
+
+def oracle_sql():
+    return {
+        name: sql for name, (_, sql) in QUERIES.items() if sql is not None
+    }
+
+
+# ---------------------------------------------------------------------------
+# flagship pipeline over synthesized spans (rows-only driver checks; the
+# exact span-sequence/TOC/section equality gate is the pytest fixture
+# corpus — SURVEY.md §5)
+# ---------------------------------------------------------------------------
+
+
+def synthesize_spans(docs: DataFrame) -> DataFrame:
+    """Deterministically lift the flat ``documents`` table into the
+    BASELINE.json input shape (doc_id, spans): 8-word text spans, a
+    page_break every 4th span, a heading every 7th, one trailing image."""
+    words = F.split(F.col("text"), " ", -1)
+    n = F.size(words)
+    n_chunks = F.greatest(F.ceil(n / 8).cast("int"), F.lit(1))
+    idx = F.sequence(F.lit(0), n_chunks - 1)
+
+    def mk(i):
+        kind = (
+            F.when(i % 4 == 3, F.lit("page_break"))
+            .when(i % 7 == 5, F.lit("heading"))
+            .otherwise(F.lit("text"))
+        )
+        text = F.when(
+            kind != "page_break",
+            F.array_join(F.slice(words, i * 8 + 1, 8), " "),
+        )
+        return F.struct(
+            kind.alias("kind"),
+            text.alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            i.cast("int").alias("offset"),
+        )
+
+    image = F.struct(
+        F.lit("image").alias("kind"),
+        F.lit("640x480").alias("text"),
+        F.concat(F.lit("img-"), F.col("doc_id").cast("string")).alias(
+            "media_ref"
+        ),
+        n_chunks.alias("offset"),
+    )
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(F.transform(idx, mk), F.array(image)).alias("spans"),
+    )
+
+
+@q("pipeline_span_sequence", None)
+def pipeline_span_sequence(spark, sf_dir):
+    """W2 flagship: ordered (kind, text, media_ref, order) per doc over
+    synthesized interleaved spans."""
+    from pdf_parser_spark.operators import pages as pages_op
+
+    docs = synthesize_spans(_t(spark, sf_dir, "documents"))
+    flat = pages_op.explode_spans(docs)
+    return pages_op.span_sequence_df(pages_op.valid_spans(flat))
+
+
+@q("pipeline_sections", None)
+def pipeline_sections(spark, sf_dir):
+    """Full 5-step pipeline → sections table."""
+    from pdf_parser_spark.pipeline import run_pipeline
+
+    docs = synthesize_spans(_t(spark, sf_dir, "documents"))
+    return run_pipeline(docs, cache=False).sections
+
+
+@q("pipeline_metrics", None)
+def pipeline_metrics(spark, sf_dir):
+    """Full 5-step pipeline → per-doc validation metrics."""
+    from pdf_parser_spark.pipeline import run_pipeline
+
+    docs = synthesize_spans(_t(spark, sf_dir, "documents"))
+    return run_pipeline(docs, cache=False).metrics
+
+
+@q("multimodal_features", None)
+def multimodal_features(spark, sf_dir):
+    """Binary media column → mapInPandas feature extraction (deterministic
+    fake decoder; real decoder is the stubbed extension point)."""
+    from pdf_parser_spark.functions import multimodal as mm
+
+    docs = synthesize_spans(_t(spark, sf_dir, "documents"))
+    media = mm.synthesize_media(spark, docs)
+    return mm.decode_features(media, fake=True)
+
+
+@q("sim_ann_topk", None)
+def sim_ann_topk(spark, sf_dir):
+    """LSH-bucketed approximate NN top-k (scale path of sim_cosine_topk)."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    qvec = emb.filter(F.col("vec_id") == 0).head()["embedding"]
+    return sim.ann_topk(emb, qvec, k=10, n_bits=4)

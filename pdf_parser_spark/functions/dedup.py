@@ -1,0 +1,221 @@
+"""Deduplication operators for training-data curation at corpus scale:
+
+- exact dedup           — hash-groupBy on normalized content
+- MinHash + LSH         — shingle → minhash signature → band buckets →
+                          candidate-pair join (near-dup at 10^12 docs)
+- n-gram Jaccard        — exact similarity on candidate pairs
+- SimHash               — 32-bit weighted fingerprint, Hamming buckets
+
+Portability rule: the "random" hash family is ``md5(shingle || ':' || i)``
+and minhash takes the LEXICOGRAPHIC MIN of those hex digests.  md5-hex is
+identical in Spark and DuckDB, so every stage here has an exact SQL oracle
+(no JVM hash() / xxhash64, which DuckDB can't reproduce).
+
+Scale notes: shingling explodes ~|words| rows per doc — the shuffle is
+(doc_id) for signatures and (band_hash) for buckets; hot buckets (boiler-
+plate shingles) are the skew risk, bounded by banding (a bucket key is a
+conjunction of 4 minhashes, so collisions require real similarity).  The
+pair join never materializes the full O(n²) space — only same-bucket pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def normalized_text(text: Column) -> Column:
+    """lowercase + collapse whitespace — the exact-dedup key basis."""
+    return F.regexp_replace(
+        F.lower(F.trim(F.coalesce(text, F.lit("")))), "\\s+", " "
+    )
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Exact dedup via md5-groupBy: per content hash, the kept (min) id and
+    the duplicate count.  Returns only groups with >1 member."""
+    h = F.md5(normalized_text(F.col(text_col))).alias("content_hash")
+    return (
+        df.select(F.col(id_col).alias("id"), h)
+        .groupBy("content_hash")
+        .agg(
+            F.min("id").alias("keep_id"),
+            F.count("*").alias("n_dups"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """k-word shingles over whitespace-normalized words (array<string>).
+    Docs with < k words yield their full word-join as one shingle."""
+    ws = F.split(normalized_text(text), " ")
+    n = F.size(ws)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    return F.transform(
+        idx,
+        lambda i: F.array_join(F.slice(ws, i, k), " "),
+    )
+
+
+def minhash_signature(text: Column, n_hashes: int = 8, k: int = 3) -> Column:
+    """array<string> of ``n_hashes`` minhashes: for seed i, the
+    lexicographic min over shingles of md5(shingle || ':' || i)."""
+    sh = shingles(text, k)
+
+    def seeded(i: int):
+        # single-arg lambda: a 2-arg lambda would receive the array index
+        # as its second parameter and shadow the seed
+        return lambda s: F.md5(F.concat(s, F.lit(f":{i}")))
+
+    return F.array(
+        *[F.array_min(F.transform(sh, seeded(i))) for i in range(n_hashes)]
+    )
+
+
+def minhash_df(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 8,
+    k: int = 3,
+) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(F.col(text_col), n_hashes, k).alias("sig"),
+    )
+
+
+def lsh_bands(sig: Column, n_bands: int, rows_per_band: int) -> Column:
+    """array<string> of band keys: md5 of the concatenated row hashes."""
+    return F.array(
+        *[
+            F.md5(
+                F.array_join(
+                    F.slice(sig, b * rows_per_band + 1, rows_per_band), "|"
+                )
+            )
+            for b in range(n_bands)
+        ]
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 8,
+    k: int = 3,
+    n_bands: int = 2,
+) -> DataFrame:
+    """Near-duplicate candidate pairs (id_a < id_b) sharing >=1 LSH band.
+
+    Scale path: explode bands → shuffle on (band_idx, band_key) only —
+    never an all-pairs comparison.
+    """
+    rows = n_hashes // n_bands
+    sigs = minhash_df(df, id_col, text_col, n_hashes, k)
+    banded = sigs.select(
+        "id",
+        F.posexplode(lsh_bands(F.col("sig"), n_bands, rows)).alias(
+            "band_idx", "band_key"
+        ),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs: |A∩B| / |A∪B|,
+    computed via distinct-shingle explode + pair join (no UDF)."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), k))).alias(
+            "shingle"
+        ),
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        pairs.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    out = (
+        inter.join(
+            sizes.select(F.col("id").alias("id_a"),
+                         F.col("n_shingles").alias("n_a")),
+            "id_a",
+        )
+        .join(
+            sizes.select(F.col("id").alias("id_b"),
+                         F.col("n_shingles").alias("n_b")),
+            "id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return out
+
+
+def simhash32(text: Column, k: int = 1) -> Column:
+    """32-bit SimHash: per shingle take md5's first 8 hex chars as a 32-bit
+    int; bit b of the output is 1 iff more shingle-hashes have bit b set
+    than unset.  Pure expression (sequence over 32 bit positions)."""
+    sh = F.array_distinct(shingles(text, k))
+    hashes = F.transform(
+        sh, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+    )
+    n = F.size(sh)
+    bits = F.sequence(F.lit(0), F.lit(31))
+
+    def bit_of(h, b):
+        # shiftright/shiftleft take only literal shift amounts, so extract
+        # bit b arithmetically: floor(h / 2^b) mod 2 (exact: h < 2^32)
+        return F.floor(h / F.pow(F.lit(2.0), b)).cast("long") % 2
+
+    bit_vals = F.transform(
+        bits,
+        lambda b: F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0).cast("long"),
+                lambda acc, h: acc + bit_of(h, b),
+            )
+            * 2
+            > n,
+            F.pow(F.lit(2.0), b).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(
+        bit_vals, F.lit(0).cast("long"), lambda acc, v: acc + v
+    )

@@ -104,8 +104,12 @@ def sections_df(
     toc: DataFrame,
     metadata: DataFrame,
     cfg: PipelineConfig = DEFAULT_CONFIG,
+    persist: bool = True,
 ) -> DataFrame:
-    """Full section assembly; returns SECTIONS_OUT + ``order`` per doc."""
+    """Full section assembly; returns SECTIONS_OUT + ``order`` per doc.
+
+    ``persist`` caches the page-section pass: it is consumed twice (the
+    final union and the J5 anti-join) and carries a pandas-UDF stage."""
     totals = pages.groupBy("doc_id").agg(
         F.max("total_pages").alias("total_pages")
     )
@@ -220,9 +224,17 @@ def sections_df(
         )
     )
 
+    if persist:
+        from pyspark.storagelevel import StorageLevel
+
+        page_sections = page_sections.persist(StorageLevel.MEMORY_AND_DISK)
+        page_sections.count()
+
     # ---- J5 + F7/F8: content-based sections on remaining pages ----------
+    # toc-section pages == valid TOC entry pages, so read them from the
+    # (cached) toc table instead of recomputing the content-assembly join
     existing = (
-        toc_sections.select("doc_id", "page")
+        valid_toc.select("doc_id", "page")
         .unionByName(page_sections.select("doc_id", "page"))
         .distinct()
     )

@@ -132,22 +132,30 @@ def toc_line_features(lines: pd.Series) -> pd.DataFrame:
 
     # potential-entry probe (X13, toc_parser.py:560-587): line 5..200 chars,
     # >=2 words, last token an int 1..9999, title part truthy & not digits.
-    ln = stripped.str.len()
-    cand = (ln >= 5) & (ln <= 200)
-    if cand.any():
-        words = stripped[cand].str.split()
-        nw = words.str.len()
-        cand2 = words.index[nw >= 2]
-        for i in cand2:
-            w = words[i]
-            last = w[-1]
-            if last.isdigit() and 1 <= int(last) <= 9999:
-                title_part = " ".join(w[:-1]).strip()
-                if title_part and not title_part.isdigit():
-                    out["pot_ok"].loc[i] = True
-                    out["pot_title"].loc[i] = title_part
-                    out["pot_page"].loc[i] = int(last)
-                    out["pot_conf"].loc[i] = refsem.toc_confidence(stripped[i])
+    # Plain-list pass (no per-row .loc) — this touches every line.
+    svals = stripped.tolist()
+    ok = [False] * len(svals)
+    titles = [None] * len(svals)
+    pgs = [None] * len(svals)
+    confs = [None] * len(svals)
+    for j, s in enumerate(svals):
+        if not (5 <= len(s) <= 200):
+            continue
+        w = s.split()
+        if len(w) < 2:
+            continue
+        last = w[-1]
+        if last.isdigit() and 1 <= int(last) <= 9999:
+            title_part = " ".join(w[:-1]).strip()
+            if title_part and not title_part.isdigit():
+                ok[j] = True
+                titles[j] = title_part
+                pgs[j] = int(last)
+                confs[j] = refsem.toc_confidence(s)
+    out["pot_ok"] = pd.Series(ok, index=n)
+    out["pot_title"] = pd.Series(titles, index=n, dtype="object")
+    out["pot_page"] = pd.Series(pgs, index=n, dtype="object")
+    out["pot_conf"] = pd.Series(confs, index=n, dtype="object")
 
     df = pd.DataFrame(out)
     for c in ("prim_idx", "prim_page", "enh_page", "pot_page"):
@@ -197,13 +205,27 @@ def toc_entries_df(
     pages: DataFrame,
     metadata: DataFrame,
     cfg: PipelineConfig = DEFAULT_CONFIG,
+    persist: bool = True,
 ) -> DataFrame:
     """Full three-pass TOC extraction + dedup (toc_parser.py:141-691).
 
     Returns TOC_OUT columns plus ``entry_order`` (the final sorted position
     per doc — consumed by the section stage's lead() boundaries W1).
+
+    ``persist`` caches the pandas-UDF feature stage and the primary pass:
+    three accept passes + two anti-joins consume them, and without a cache
+    Catalyst re-executes the Arrow UDF once per consumer (SURVEY.md §4d —
+    "keep pandas-UDF stages few and fused").
     """
     feats = _line_features_df(toc_candidate_lines(pages, cfg))
+    if persist:
+        from pyspark.storagelevel import StorageLevel
+
+        # eager materialization: the three passes fan out from feats in
+        # ONE downstream job; a lazy cache would run the Arrow UDF once
+        # per branch before any partition is cached
+        feats = feats.persist(StorageLevel.MEMORY_AND_DISK)
+        feats.count()
 
     accepted_primary = (
         F.col("prim_matched")
@@ -226,6 +248,11 @@ def toc_entries_df(
         F.col("stripped").alias("full_path"),
         F.lit(0).alias("pass_rank"),
     )
+    if persist:
+        from pyspark.storagelevel import StorageLevel
+
+        primary = primary.persist(StorageLevel.MEMORY_AND_DISK)
+        primary.count()
 
     # ---- enhanced pass (toc_parser.py:381-470) -------------------------
     enh = feats.filter(

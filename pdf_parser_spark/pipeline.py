@@ -45,7 +45,11 @@ class PipelineResult:
     metrics: DataFrame
 
     def unpersist(self) -> None:
-        self.pages.unpersist()
+        for df in (self.pages, self.metadata, self.toc, self.sections):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
 
 
 def read_documents(spark: SparkSession, path: str) -> DataFrame:
@@ -67,12 +71,26 @@ def run_pipeline(
     pages = pages_op.pages_df(valid, cfg)
     if cache:
         # steps 2-5 all read pages; one materialization instead of the
-        # reference's three JSONL re-reads (S7)
+        # reference's three JSONL re-reads (S7).  Eager count: every stage
+        # fans out to several consumers inside single downstream jobs, and
+        # a lazy cache would recompute the lineage once per branch before
+        # any partition lands in the cache.  In production these stage
+        # boundaries are Iceberg tables (write = the materialization).
         pages = pages.persist(StorageLevel.MEMORY_AND_DISK)
+        pages.count()
 
     metadata = metadata_op.metadata_df(docs, pages, cfg)
-    toc = toc_op.toc_entries_df(pages, metadata, cfg)
-    sections = sections_op.sections_df(pages, toc, metadata, cfg)
+    if cache:
+        metadata = metadata.persist(StorageLevel.MEMORY_AND_DISK)
+        metadata.count()
+    toc = toc_op.toc_entries_df(pages, metadata, cfg, persist=cache)
+    if cache:
+        toc = toc.persist(StorageLevel.MEMORY_AND_DISK)
+        toc.count()
+    sections = sections_op.sections_df(pages, toc, metadata, cfg, persist=cache)
+    if cache:
+        sections = sections.persist(StorageLevel.MEMORY_AND_DISK)
+        sections.count()
     metrics = metrics_op.metrics_df(docs, pages, toc, sections, metadata)
 
     return PipelineResult(

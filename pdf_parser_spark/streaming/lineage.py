@@ -1,0 +1,148 @@
+"""Per-partition lineage + resumable execution (north rule: "checkpoints
+per-partition progress to a lineage/metrics table so a killed job resumes
+without reprocessing completed partitions").
+
+Model (SURVEY.md §2.9):
+- documents are assigned a deterministic ``bucket`` (0..n_buckets-1) from
+  md5(doc_id) — stable across runs and cluster sizes;
+- buckets are processed in WAVES (``wave_size`` buckets per Spark job);
+- each wave: write outputs partitioned by bucket (dynamic partition
+  overwrite → idempotent re-write), THEN append one lineage row per bucket
+  with ``observe()``-collected counters;
+- resume = anti-join the bucket list against completed lineage rows: a
+  wave killed before its lineage append is simply re-run, and its partial
+  output partitions are overwritten (Iceberg snapshot semantics in
+  production; dynamic-overwrite parquet here).
+
+At 1000 executors the wave is the unit of checkpoint granularity and each
+wave is one fully-parallel job — the driver loop is O(n_buckets /
+wave_size) metadata operations, never per-document work.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from pdf_parser_spark.config import DEFAULT_CONFIG, PipelineConfig
+from pdf_parser_spark.pipeline import run_pipeline
+
+LINEAGE_SUBDIR = "_lineage"
+
+
+def with_bucket(docs: DataFrame, n_buckets: int) -> DataFrame:
+    """Deterministic doc bucket: first 8 hex chars of md5(doc_id) mod N
+    (portable, stable under repartitioning — never spark_partition_id)."""
+    b = F.conv(F.substring(F.md5("doc_id"), 1, 8), 16, 10).cast(
+        "long"
+    ) % n_buckets
+    return docs.withColumn("bucket", b.cast("int"))
+
+
+def completed_buckets(spark: SparkSession, out_dir: str) -> set:
+    path = Path(out_dir) / LINEAGE_SUBDIR
+    if not path.exists():
+        return set()
+    rows = (
+        spark.read.parquet(str(path))
+        .filter(F.col("status") == "done")
+        .select("partition_id")
+        .distinct()
+        .collect()
+    )
+    return {r.partition_id for r in rows}
+
+
+def _append_lineage(spark: SparkSession, out_dir: str, rows: list) -> None:
+    from pdf_parser_spark.schemas import LINEAGE
+
+    df = spark.createDataFrame(rows, LINEAGE)
+    df.coalesce(1).write.mode("append").parquet(
+        str(Path(out_dir) / LINEAGE_SUBDIR)
+    )
+
+
+def run_resumable(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    run_id: str = "run-0",
+    n_buckets: int = 16,
+    wave_size: int = 8,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    fail_after_waves: int | None = None,
+) -> dict:
+    """Process all pending buckets; return a summary.
+
+    ``fail_after_waves`` is a fault-injection hook for the resume test —
+    raises after k completed waves, exactly as a mid-job kill would.
+    """
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    bucketed = with_bucket(docs, n_buckets)
+    done = completed_buckets(spark, out_dir)
+    pending = [b for b in range(n_buckets) if b not in done]
+    waves = [
+        pending[i : i + wave_size]
+        for i in range(0, len(pending), wave_size)
+    ]
+
+    processed = []
+    for wi, wave in enumerate(waves):
+        if fail_after_waves is not None and wi >= fail_after_waves:
+            raise RuntimeError(
+                f"injected failure before wave {wi} (buckets {wave})"
+            )
+        started = time.time()
+        wave_docs = bucketed.filter(F.col("bucket").isin(wave))
+        obs = Observation(f"wave-{wi}")
+        wave_docs = wave_docs.observe(
+            obs,
+            F.count("*").alias("docs"),
+            F.sum(F.size(F.coalesce("spans", F.array()))).alias("spans"),
+        )
+
+        result = run_pipeline(wave_docs.drop("bucket"), cfg)
+        out = result.spans_out.join(
+            bucketed.select("doc_id", "bucket"), "doc_id"
+        )
+        # 1) idempotent output write (re-running a bucket overwrites it)
+        out.write.mode("overwrite").partitionBy("bucket").parquet(
+            f"{out_dir}/spans_out"
+        )
+        result.sections.join(
+            bucketed.select("doc_id", "bucket"), "doc_id"
+        ).write.mode("overwrite").partitionBy("bucket").parquet(
+            f"{out_dir}/sections"
+        )
+        result.unpersist()
+
+        # 2) lineage append AFTER the output commit
+        got = obs.get
+        finished = time.time()
+        import datetime as _dt
+
+        rows = [
+            (
+                run_id,
+                int(b),
+                "done",
+                int(got.get("docs") or 0),
+                int(got.get("spans") or 0),
+                _dt.datetime.utcfromtimestamp(started),
+                _dt.datetime.utcfromtimestamp(finished),
+                {"wave": float(wi)},
+            )
+            for b in wave
+        ]
+        _append_lineage(spark, out_dir, rows)
+        processed.extend(wave)
+
+    return {
+        "run_id": run_id,
+        "skipped_buckets": sorted(done),
+        "processed_buckets": processed,
+        "n_waves": len(waves),
+    }

@@ -1,0 +1,186 @@
+"""Unit tests for the training-data curation operators: dedup, similarity,
+text stats, multimodal plumbing — verified against independent pure-Python
+computations."""
+
+import hashlib
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from pdf_parser_spark.functions import dedup as dd
+from pdf_parser_spark.functions import multimodal as mm
+from pdf_parser_spark.functions import similarity as sim
+from pdf_parser_spark.functions import textstats as ts
+
+
+@pytest.fixture(scope="module")
+def texts_df(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely different content with no overlap whatsoever"),
+        (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (5, ""),
+        (6, "der hund und die katze und der vogel"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _py_shingles(text, k=3):
+    words = " ".join(text.lower().strip().split()).split(" ")
+    if len(words) < k:
+        return [" ".join(words)]
+    return [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+
+
+def _py_minhash(text, n_hashes=4, k=3):
+    sh = _py_shingles(text, k)
+    return [
+        min(hashlib.md5(f"{s}:{i}".encode()).hexdigest() for s in sh)
+        for i in range(n_hashes)
+    ]
+
+
+def test_exact_duplicates(texts_df):
+    rows = dd.exact_duplicates(texts_df).collect()
+    assert len(rows) == 1
+    assert rows[0].keep_id == 1 and rows[0].n_dups == 2
+
+
+def test_minhash_matches_python(texts_df):
+    got = {
+        r.id: list(r.sig)
+        for r in dd.minhash_df(texts_df, n_hashes=4, k=3).collect()
+    }
+    for doc_id, text in [(1, "the quick brown fox jumps over the lazy dog"),
+                         (3, "completely different content with no overlap "
+                             "whatsoever")]:
+        assert got[doc_id] == _py_minhash(text), doc_id
+
+
+def test_lsh_finds_near_dups(texts_df):
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dd.lsh_candidate_pairs(
+            texts_df, n_hashes=4, k=3, n_bands=2
+        ).collect()
+    }
+    assert (1, 4) in pairs        # exact dup always collides
+    assert (1, 3) not in pairs    # disjoint docs never collide
+    assert all(a < b for a, b in pairs)
+
+
+def test_ngram_jaccard(texts_df, spark):
+    pairs = spark.createDataFrame([(1, 2), (1, 4)], ["id_a", "id_b"])
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in dd.ngram_jaccard_pairs(texts_df, pairs, k=3).collect()
+    }
+    assert got[(1, 4)] == 1.0
+    a = set(_py_shingles("the quick brown fox jumps over the lazy dog"))
+    b = set(_py_shingles("the quick brown fox jumps over the lazy cat"))
+    expected = round(len(a & b) / len(a | b), 6)
+    assert got[(1, 2)] == expected
+
+
+def test_simhash_properties(texts_df):
+    out = {
+        r.doc_id: r.sh
+        for r in texts_df.select(
+            "doc_id", dd.simhash32(F.col("text")).alias("sh")
+        ).collect()
+    }
+    assert out[1] == out[4]                    # identical text → same hash
+    assert 0 <= out[1] < 2**32
+
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+
+    # near-dup differs in few bits; disjoint docs differ in many
+    assert hamming(out[1], out[2]) < hamming(out[1], out[3])
+
+
+def test_cosine_topk_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(50, 16)).astype("float64")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(50)],
+        ["vec_id", "embedding"],
+    )
+    q = [float(x) for x in vecs[0]]
+    got = [
+        (r.id, r.score) for r in sim.cosine_topk(df, q, k=5).collect()
+    ]
+    sims = vecs @ vecs[0] / (
+        np.linalg.norm(vecs, axis=1) * np.linalg.norm(vecs[0])
+    )
+    order = sorted(
+        range(50), key=lambda i: (-round(float(sims[i]), 6), i)
+    )[:5]
+    want = [(i, round(float(sims[i]), 6)) for i in order]
+    assert [g[0] for g in got] == [w[0] for w in want]
+    for g, w in zip(got, want):
+        assert math.isclose(g[1], w[1], abs_tol=1e-6)
+
+
+def test_ann_topk_contains_query(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(80, 16)).astype("float64")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(80)],
+        ["vec_id", "embedding"],
+    )
+    q = [float(x) for x in vecs[3]]
+    got = [r.id for r in sim.ann_topk(df, q, k=5, n_bits=4).collect()]
+    # the query vector itself lands in the query bucket and ranks first
+    assert got and got[0] == 3
+
+
+def test_textstats(texts_df):
+    rows = {r.doc_id: r for r in ts.text_stats_df(texts_df).collect()}
+    assert rows[1].ws_tokens == 9
+    assert rows[5].ws_tokens == 0
+    assert rows[1].lang_guess == "en"
+    assert rows[6].lang_guess == "de"
+    assert rows[5].lang_guess == "unknown"
+    assert rows[1].fingerprint == hashlib.md5(
+        "the quick brown fox jumps over the lazy".encode()
+    ).hexdigest()
+    assert 0.0 <= rows[1].quality <= 1.0
+
+
+def test_multimodal_fake_decode(spark, docs_df):
+    media = mm.synthesize_media(spark, docs_df)
+    feats = mm.decode_features(media, fake=True)
+    rows = feats.collect()
+    assert rows
+    for r in rows:
+        assert r.decode_status == "ok"
+        assert len(r.feature) == 8
+        assert r.n_bytes == len(f"payload:{r.media_ref}".encode())
+        want = hashlib.md5(f"payload:{r.media_ref}".encode()).digest()
+        assert r.feature == [want[i] / 255.0 for i in range(8)]
+
+
+def test_multimodal_stub_raises(spark, docs_df):
+    media = mm.synthesize_media(spark, docs_df)
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        mm.decode_features(media, fake=False).collect()
+
+
+def test_media_linking(spark, docs_df):
+    from pdf_parser_spark.operators import pages as P
+
+    flat = P.explode_spans(docs_df)
+    spans_out = P.span_sequence_df(P.valid_spans(flat))
+    media = mm.synthesize_media(spark, docs_df)
+    linked = mm.link_media(spans_out, media)
+    rows = linked.collect()
+    assert rows
+    assert all(r.media_type == "image" for r in rows if r.media_type)
