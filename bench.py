@@ -29,7 +29,7 @@ REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
 from pdf_parser_spark import driver_queries as dq  # noqa: E402
-from pdf_parser_spark.fixtures.gen import fixture_corpus, write_parquet  # noqa: E402
+from pdf_parser_spark.fixtures.gen import bench_corpus_df  # noqa: E402
 from pdf_parser_spark.pipeline import read_documents, run_pipeline  # noqa: E402
 from pdf_parser_spark.session import get_spark  # noqa: E402
 
@@ -47,13 +47,16 @@ RELATIONAL = [
 
 
 def ensure_corpus(spark, n_docs: int, mega_spans: int) -> str:
-    path = REPO / ".bench_cache" / f"corpus_{n_docs}_{mega_spans}"
+    path = REPO / ".bench_cache" / f"corpus_v2_{n_docs}_{mega_spans}"
     marker = path / "_SUCCESS_LOCAL"
     if not marker.exists():
         if path.exists():
             shutil.rmtree(path)
-        docs = fixture_corpus(n_docs=n_docs, mega_spans=mega_spans)
-        write_parquet(spark, docs, str(path), n_files=32)
+        # distributed generation (per-doc seeded) + doc_id-range layout
+        df = bench_corpus_df(spark, n_docs, mega_spans)
+        df.repartitionByRange(64, "doc_id").write.mode(
+            "overwrite"
+        ).parquet(str(path))
         marker.write_text("ok")
     return str(path)
 
@@ -63,12 +66,17 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "4000"))
     mega_spans = int(os.environ.get("SPARK_GRAFT_BENCH_MEGA", "20000"))
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "1"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
 
+    # shuffle partitions FIXED (not scaled by cpus): the N-vs-4N scaling
+    # comparison must run the identical plan and partitioning at both
+    # levels so only executor parallelism varies
+    sp = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
     spark = get_spark(
         app_name="pdf_parser_spark-bench",
         master=f"local[{cpus}]",
-        shuffle_partitions=max(2 * cpus, 8),
+        shuffle_partitions=sp,
     )
 
     corpus_path = ensure_corpus(spark, n_docs, mega_spans)
@@ -98,13 +106,20 @@ def main() -> None:
         r.unpersist()
         return n
 
-    timed("pipeline_e2e", pipe)
+    # repeats: first run pays JVM JIT + python-worker startup; the last
+    # run measures steady-state throughput (what a long-running cluster
+    # job actually sustains).  Default 1 keeps the driver's quick check
+    # cheap; scaling_bench uses 2.
+    for rep in range(repeats):
+        timed("pipeline_e2e" if rep == repeats - 1
+              else f"pipeline_warmup{rep}", pipe)
     docs_per_sec = round(total_docs / times["pipeline_e2e"], 2)
 
     # --- relational/curation headline queries at sf_dir ------------------
-    all_q = dq.queries()
-    for name in RELATIONAL:
-        timed(name, lambda n=name: all_q[n](spark, sf_dir).count())
+    if not os.environ.get("SPARK_GRAFT_BENCH_SKIP_RELATIONAL"):
+        all_q = dq.queries()
+        for name in RELATIONAL:
+            timed(name, lambda n=name: all_q[n](spark, sf_dir).count())
 
     print(
         json.dumps(

@@ -1085,7 +1085,7 @@ def pipeline_sections(spark, sf_dir):
     from pdf_parser_spark.pipeline import run_pipeline
 
     docs = synthesize_spans(_t(spark, sf_dir, "documents"))
-    return run_pipeline(docs, cache=False).sections
+    return run_pipeline(docs, cache=True).sections
 
 
 @q("pipeline_metrics", None)
@@ -1094,7 +1094,7 @@ def pipeline_metrics(spark, sf_dir):
     from pdf_parser_spark.pipeline import run_pipeline
 
     docs = synthesize_spans(_t(spark, sf_dir, "documents"))
-    return run_pipeline(docs, cache=False).metrics
+    return run_pipeline(docs, cache=True).metrics
 
 
 @q("multimodal_features", None)
@@ -1119,3 +1119,239 @@ def sim_ann_topk(spark, sf_dir):
     )
     qvec = emb.filter(F.col("vec_id") == 0).head()["embedding"]
     return sim.ann_topk(emb, qvec, k=10, n_bits=4)
+
+
+# ---------------------------------------------------------------------------
+# second coverage wave: X4, A5, A7, W4, X5, X17-X21
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "x4_clean_title",
+    """SELECT doc_id,
+              replace(regexp_replace(trim(CASE
+                WHEN length(c2) > 120 THEN
+                  CASE WHEN c2 LIKE '%.%'
+                            AND length(string_split(c2, '.')[1]) < 80
+                       THEN trim(string_split(c2, '.')[1])
+                       ELSE trim(substr(c2, 1, 80)) END
+                ELSE c2 END), '[. ]+$', ''), ' .', '.') AS cleaned
+       FROM (SELECT doc_id,
+                    regexp_replace(trim(substr(text, 1, 150)),
+                                   '\\.{4,}', '', 'g') AS c2
+             FROM documents) t""",
+)
+def x4_clean_title(spark, sf_dir):
+    """X4 clean_title (toc_parser.py:302-334): dot-run removal,
+    sentence-boundary truncation >120, trailing '. ' strip.
+
+    Note: the fixture texts are single-space words, so the reference's
+    whitespace collapse is the identity here; the ' .'→'.' fix is kept.
+    """
+    c1 = F.trim(F.substring("text", 1, 150))
+    c2 = F.regexp_replace(c1, r"\.{4,}", "")
+    first_sentence = F.split(c2, r"\.", -1)[0]
+    truncated = F.when(
+        F.length(c2) > 120,
+        F.when(
+            c2.contains(".") & (F.length(first_sentence) < 80),
+            F.trim(first_sentence),
+        ).otherwise(F.trim(F.substring(c2, 1, 80))),
+    ).otherwise(c2)
+    cleaned = F.replace(
+        F.regexp_replace(F.trim(truncated), "[. ]+$", ""),
+        F.lit(" ."),
+        F.lit("."),
+    )
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", cleaned.alias("cleaned")
+    )
+
+
+@q(
+    "a5_interval_union",
+    """SELECT o_custkey, CAST(sum(contrib) AS BIGINT) AS covered FROM (
+         SELECT o_custkey,
+                greatest(e - greatest(s, coalesce(max(e) OVER
+                    (PARTITION BY o_custkey ORDER BY s, e, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    + 1, s)) + 1, 0) AS contrib
+         FROM (SELECT o_custkey, o_orderkey,
+                      o_orderkey % 100 AS s,
+                      o_orderkey % 100 + o_orderkey % 7 AS e
+               FROM orders) iv) sw
+       GROUP BY o_custkey""",
+)
+def a5_interval_union(spark, sf_dir):
+    """A5: union-of-intervals cardinality via running-max sweep — the
+    explode-free covered-pages count (coverage_calculator.py:224-258)."""
+    iv = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        (F.col("o_orderkey") % 100).alias("s"),
+        (F.col("o_orderkey") % 100 + F.col("o_orderkey") % 7).alias("e"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("s", "e", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    eff_start = F.greatest(
+        F.col("s"), F.coalesce(F.max("e").over(w) + 1, F.col("s"))
+    )
+    contrib = F.greatest(F.col("e") - eff_start + 1, F.lit(0))
+    return (
+        iv.select("o_custkey", contrib.alias("contrib"))
+        .groupBy("o_custkey")
+        .agg(F.sum("contrib").cast("long").alias("covered"))
+    )
+
+
+@q(
+    "a7_coverage_score",
+    """SELECT CAST(round(least(
+                CASE WHEN trim(text) <> '' THEN 0.4 ELSE 0.0 END
+              + CASE WHEN text LIKE '%table%' THEN 0.2 ELSE 0.0 END
+              + CASE WHEN text LIKE '%scan%' THEN 0.2 ELSE 0.0 END
+              + CASE WHEN text LIKE '%merge%' THEN 0.1 ELSE 0.0 END
+              + CASE WHEN text LIKE '%sort%' THEN 0.1 ELSE 0.0 END,
+              1.0), 2) AS DOUBLE) AS score, count(*) AS n
+       FROM documents GROUP BY 1""",
+)
+def a7_coverage_score(spark, sf_dir):
+    """A7: weighted per-row coverage score capped at 1.0
+    (extractor.py:365-398)."""
+    t = F.col("text")
+    score = F.round(
+        F.least(
+            F.when(F.trim(t) != "", F.lit(0.4)).otherwise(0.0)
+            + F.when(t.contains("table"), F.lit(0.2)).otherwise(0.0)
+            + F.when(t.contains("scan"), F.lit(0.2)).otherwise(0.0)
+            + F.when(t.contains("merge"), F.lit(0.1)).otherwise(0.0)
+            + F.when(t.contains("sort"), F.lit(0.1)).otherwise(0.0),
+            F.lit(1.0),
+        ),
+        2,
+    )
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy(score.alias("score"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
+    "w4_group_by_rounded",
+    """SELECT CAST(round(value, -1) AS DOUBLE) AS y_band,
+              count(*) AS n_lines,
+              CAST(sum(CAST(length(props) AS BIGINT)) AS BIGINT)
+                  AS char_count
+       FROM events GROUP BY 1""",
+)
+def w4_group_by_rounded(spark, sf_dir):
+    """W4: line grouping by rounded position (extractor.py:302-325 —
+    chars grouped by round(y, k))."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(F.round(F.col("value"), -1).alias("y_band"))
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.length("props").cast("long")).alias("char_count"),
+        )
+    )
+
+
+@q(
+    "x5_posexplode_checksum",
+    """SELECT doc_id, CAST(sum(i * length(ws[i])) AS BIGINT) AS checksum
+       FROM (SELECT doc_id, ws,
+                    unnest(generate_series(1, length(ws))) AS i
+             FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                   FROM documents) a) b
+       GROUP BY doc_id""",
+)
+def x5_posexplode_checksum(spark, sf_dir):
+    """X5: 1-row→N-rows positional explode (text_utils.py:21-25 line
+    split) — position-weighted length checksum proves order survives."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), " ", -1)).alias(
+                "pos", "w"
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum((F.col("pos") + 1) * F.length("w"))
+            .cast("long")
+            .alias("checksum")
+        )
+    )
+
+
+@q(
+    "x17_x21_heading_shapes",
+    """SELECT
+         regexp_matches(line, '^[0-9]+(\\.[0-9]+)*\\s+\\S') AS numbered,
+         upper(line) = line AND lower(line) <> line AS allcaps,
+         length(string_split(line, ' ')) <= 8
+           AND line LIKE '%:' AS colon_heading,
+         count(*) AS n
+       FROM (SELECT trim(substr(text, 1, 40)) AS line FROM documents) l
+       GROUP BY 1, 2, 3""",
+)
+def x17_x21_heading_shapes(spark, sf_dir):
+    """X17-X21: heading-shape detectors (numbered / ALL-CAPS /
+    trailing-colon) as boolean expressions
+    (heading_strategies.py:64-193, section_parser.py:371-392)."""
+    line = F.trim(F.substring("text", 1, 40))
+    return (
+        _t(spark, sf_dir, "documents")
+        .select(line.alias("line"))
+        .groupBy(
+            F.col("line").rlike(r"^[0-9]+(\.[0-9]+)*\s+\S").alias(
+                "numbered"
+            ),
+            (
+                (F.upper("line") == F.col("line"))
+                & (F.lower("line") != F.col("line"))
+            ).alias("allcaps"),
+            (
+                (F.size(F.split(F.col("line"), " ", -1)) <= 8)
+                & F.col("line").endswith(":")
+            ).alias("colon_heading"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
+    "u2_sequence_explode",
+    """SELECT n_pages, count(*) AS n_orders FROM (
+         SELECT o_orderkey, count(*) AS n_pages
+         FROM (SELECT o_orderkey,
+                      unnest(generate_series(1,
+                          CAST(o_orderkey % 5 + 1 AS INT))) AS pg
+               FROM orders) e
+         GROUP BY o_orderkey) c
+       GROUP BY n_pages""",
+)
+def u2_sequence_explode(spark, sf_dir):
+    """U2/A5: explode(sequence(start, end)) covered-range expansion
+    (toc_processor.py:41-52)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.explode(
+                F.sequence(
+                    F.lit(1), (F.col("o_orderkey") % 5 + 1).cast("int")
+                )
+            ).alias("pg"),
+        )
+        .groupBy("o_orderkey")
+        .agg(F.count("*").alias("n_pages"))
+        .groupBy("n_pages")
+        .agg(F.count("*").alias("n_orders"))
+    )

@@ -442,3 +442,87 @@ def write_parquet(spark, docs: List[Dict[str, Any]], path: str, n_files: int = 8
     # layout uses for shuffle-free reassembly (SURVEY.md §4).
     df.repartitionByRange(n_files, "doc_id").write.mode("overwrite").parquet(path)
     return path
+
+
+def write_parquet_chunked(
+    spark,
+    docs: List[Dict[str, Any]],
+    path: str,
+    chunk: int = 2000,
+    files_per_chunk: int = 8,
+):
+    """Large corpora: append in chunks so the driver→JVM ship of the
+    python row list stays bounded (one big createDataFrame OOMs the heap
+    at ~30k span-heavy docs)."""
+    mode = "overwrite"
+    for i in range(0, len(docs), chunk):
+        df = to_spark_df(spark, docs[i : i + chunk])
+        df.repartitionByRange(files_per_chunk, "doc_id").write.mode(
+            mode
+        ).parquet(path)
+        mode = "append"
+    return path
+
+
+# ---------------------------------------------------------------------------
+# distributed bench corpus (per-doc seeded → generation parallelizes)
+# ---------------------------------------------------------------------------
+
+_BENCH_BUILDERS = [
+    toc_doc,
+    headings_doc,
+    media_doc,
+    lambda r, d: media_doc(r, d, hot_ref="hot-shared-logo"),
+    malformed_doc,
+    empty_doc,
+    unicode_doc,
+    dup_doc,
+    lambda r, d: frontmatter_doc(r, d, variant=sum(map(ord, d)) % 3),
+    uncovered_doc,
+    no_toc_doc,
+    fallback_doc,
+]
+
+
+def build_bench_doc(idx: int, mega_every: int = 10000,
+                    mega_spans: int = 20000) -> Dict[str, Any]:
+    """One deterministic doc from its index alone (rng seeded per doc, not
+    shared) — safe to build on any executor in any order.  Every
+    ``mega_every``-th doc is a mega doc (skew)."""
+    doc_id = f"doc-{idx:08d}-f{idx % len(_BENCH_BUILDERS):02d}"
+    rng = random.Random(10_000_019 * idx + 42)
+    if mega_every and idx > 0 and idx % mega_every == 0:
+        doc = mega_doc(rng, f"doc-{idx:08d}-mega", mega_spans)
+    else:
+        doc = _BENCH_BUILDERS[idx % len(_BENCH_BUILDERS)](rng, doc_id)
+    return _doc_to_spans(doc, rng)
+
+
+def bench_corpus_df(spark, n_docs: int, mega_spans: int = 20000):
+    """Distributed corpus generation: a range of doc indexes fanned out to
+    executors, each built independently (mapInPandas, Arrow-batched).
+    This is also the 100 TB story — corpus synthesis scales with the
+    cluster instead of serializing through the driver."""
+    import pandas as _pd
+
+    from pdf_parser_spark.schemas import DOCUMENTS_SPANS
+
+    def build(batches):
+        for pdf in batches:
+            rows = []
+            for idx in pdf["id"]:
+                d = build_bench_doc(int(idx), mega_spans=mega_spans)
+                rows.append(
+                    (
+                        d["doc_id"],
+                        [
+                            (s.get("kind"), s.get("text"),
+                             s.get("media_ref"), s.get("offset"))
+                            for s in d["spans"]
+                        ],
+                    )
+                )
+            yield _pd.DataFrame(rows, columns=["doc_id", "spans"])
+
+    idx_df = spark.range(0, n_docs, 1, 64).withColumnRenamed("id", "id")
+    return idx_df.mapInPandas(build, DOCUMENTS_SPANS)

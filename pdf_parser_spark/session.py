@@ -27,11 +27,16 @@ def get_spark(
     shuffle_partitions = shuffle_partitions or int(
         os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
     )
+    # AQE is the production default (skew-join splitting, runtime
+    # coalescing).  SPARK_GRAFT_AQE=0 disables it for benchmark A/B: AQE's
+    # per-exchange re-planning is driver-serial, and on a single-JVM local
+    # harness with many small stages it can dominate the critical path.
+    aqe = os.environ.get("SPARK_GRAFT_AQE", "1") != "0"
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.enabled", str(aqe).lower())
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -43,6 +48,10 @@ def get_spark(
         # parquet scan sizing: at 100 TB the default 128m is right; keep it
         # explicit so it is a deliberate choice, not an accident.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # span-heavy rows (a mega-doc row is MBs of array<struct>): the
+        # default 4096-row columnar batch × many concurrent scan tasks
+        # overruns the heap — size batches for wide rows.
+        .config("spark.sql.parquet.columnarReaderBatchSize", "512")
     )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
