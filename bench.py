@@ -73,10 +73,17 @@ def main() -> None:
     # comparison must run the identical plan and partitioning at both
     # levels so only executor parallelism varies
     sp = int(os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+    # concurrency K: run K pipeline instances over K disjoint doc slices
+    # in K driver threads (FAIR scheduler).  K=1 is the latency view; K>1
+    # is the steady-state view — in production many bucket-waves are in
+    # flight at once, so per-stage barrier latency overlaps with other
+    # waves' compute instead of serializing the whole cluster.
+    conc = int(os.environ.get("SPARK_GRAFT_BENCH_CONCURRENCY", "1"))
     spark = get_spark(
         app_name="pdf_parser_spark-bench",
         master=f"local[{cpus}]",
         shuffle_partitions=sp,
+        extra_conf={"spark.scheduler.mode": "FAIR"} if conc > 1 else None,
     )
 
     corpus_path = ensure_corpus(spark, n_docs, mega_spans)
@@ -92,8 +99,8 @@ def main() -> None:
         return out
 
     # --- end-to-end extraction pipeline (the BASELINE.json metric) -------
-    def pipe():
-        r = run_pipeline(docs)
+    def run_one(docs_df):
+        r = run_pipeline(docs_df)
         # force every output table (spans_out is the flagship; toc/
         # sections/metrics are the remaining reference steps)
         n = (
@@ -106,13 +113,33 @@ def main() -> None:
         r.unpersist()
         return n
 
-    # repeats: first run pays JVM JIT + python-worker startup; the last
-    # run measures steady-state throughput (what a long-running cluster
-    # job actually sustains).  Default 1 keeps the driver's quick check
-    # cheap; scaling_bench uses 2.
-    for rep in range(repeats):
-        timed("pipeline_e2e" if rep == repeats - 1
-              else f"pipeline_warmup{rep}", pipe)
+    def pipe():
+        if conc <= 1:
+            return run_one(docs)
+        from concurrent.futures import ThreadPoolExecutor
+
+        from pyspark.sql import functions as F
+
+        slices = [
+            docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(conc)) == i)
+            for i in range(conc)
+        ]
+        with ThreadPoolExecutor(max_workers=conc) as ex:
+            return sum(ex.map(run_one, slices))
+
+    # repeats: warmup runs pay JVM JIT + python-worker startup so the
+    # last run measures steady-state throughput (what a long-running
+    # cluster job actually sustains).  Warmups run on a 1/8 doc slice —
+    # code paths warm identically at a fraction of the cost.
+    if repeats > 1:
+        from pyspark.sql import functions as F
+
+        warm_slice = docs.filter(
+            F.pmod(F.xxhash64("doc_id"), F.lit(8)) == 0
+        )
+        for rep in range(repeats - 1):
+            timed(f"pipeline_warmup{rep}", lambda: run_one(warm_slice))
+    timed("pipeline_e2e", pipe)
     docs_per_sec = round(total_docs / times["pipeline_e2e"], 2)
 
     # --- relational/curation headline queries at sf_dir ------------------

@@ -508,6 +508,10 @@ def bench_corpus_df(spark, n_docs: int, mega_spans: int = 20000):
     from pdf_parser_spark.schemas import DOCUMENTS_SPANS
 
     def build(batches):
+        # yield in bounded chunks: each yielded frame becomes ONE Arrow
+        # record batch, and span-heavy rows at thousands-per-batch blow
+        # the executor's direct-memory pool
+        chunk = 400
         for pdf in batches:
             rows = []
             for idx in pdf["id"]:
@@ -522,7 +526,11 @@ def bench_corpus_df(spark, n_docs: int, mega_spans: int = 20000):
                         ],
                     )
                 )
-            yield _pd.DataFrame(rows, columns=["doc_id", "spans"])
+                if len(rows) >= chunk:
+                    yield _pd.DataFrame(rows, columns=["doc_id", "spans"])
+                    rows = []
+            if rows:
+                yield _pd.DataFrame(rows, columns=["doc_id", "spans"])
 
     idx_df = spark.range(0, n_docs, 1, 64).withColumnRenamed("id", "id")
     return idx_df.mapInPandas(build, DOCUMENTS_SPANS)

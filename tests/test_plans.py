@@ -1,0 +1,78 @@
+"""Physical-plan assertions: the plans we want at 100 TB, not just plans
+that pass (filter pushdown, broadcast joins, no Python in native paths)."""
+
+import pytest
+
+from pdf_parser_spark import driver_queries as dq
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return dq.queries()
+
+
+def test_filter_pushdown_reaches_scan(spark, qs):
+    plan = _plan(qs["f1_page_prune"](spark, SF_DIR))
+    assert "PushedFilters: [IsNotNull(event_id), LessThanOrEqual(event_id,60)" in plan
+
+
+def test_column_pruning(spark, qs):
+    plan = _plan(qs["o4_truncation"](spark, SF_DIR))
+    # scan must read only the 2 needed columns of the 5-column table
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_dim_join_broadcasts(spark, qs):
+    plan = _plan(qs["j1_broadcast_dim_join"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_anti_join_strategy(spark, qs):
+    plan = _plan(qs["j3_anti_join"](spark, SF_DIR))
+    assert "LeftAnti" in plan
+
+
+def test_native_paths_have_no_python(spark, qs):
+    for name in ("a1_tpch_pricing_summary", "w5_topk_per_group",
+                 "dedup_minhash_signature", "sim_cosine_topk",
+                 "text_token_counts"):
+        plan = _plan(qs[name](spark, SF_DIR))
+        assert "Python" not in plan, f"{name} fell off the JVM path"
+
+
+def test_toc_has_single_udf_stage(spark):
+    """The TOC stage's only JVM↔Python crossing is the fused line-features
+    UDF (SURVEY.md §4d).  Uses an isolated lineage + cleared cache so
+    other tests' cached subtrees can't rewrite the plan."""
+    from pdf_parser_spark.fixtures.gen import fixture_corpus, to_spark_df
+    from pdf_parser_spark.operators import pages as P
+    from pdf_parser_spark.operators import toc as T
+
+    spark.catalog.clearCache()
+    docs = to_spark_df(spark, fixture_corpus(n_docs=4))
+    pages = P.pages_df(P.valid_spans(P.explode_spans(docs)))
+    feats = T._line_features_df(T.toc_candidate_lines(pages))
+    plan = _plan(feats)
+    assert plan.count("ArrowEvalPython") == 1
+
+
+def test_span_sequence_no_python_and_bounded_shuffles(spark, docs_df):
+    from pdf_parser_spark.operators import pages as P
+
+    out = P.span_sequence_df(P.valid_spans(P.explode_spans(docs_df)))
+    plan = _plan(out)
+    assert "Python" not in plan
+    # two-phase reassembly: window + count agg + broadcast join back —
+    # the per-doc global sort must NOT appear as a whole-doc exchange
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
