@@ -64,10 +64,18 @@ def ensure_corpus(spark, n_docs: int, mega_spans: int) -> str:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "4000"))
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "160000"))
     mega_spans = int(os.environ.get("SPARK_GRAFT_BENCH_MEGA", "20000"))
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "1"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    # span-heavy rows: the default 8g heap is tight for 32 concurrent
+    # vectorized scans; size it unless the caller chose explicitly
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+    # local-mode bench defaults (all documented in BENCH/README.md):
+    # AQE off — its per-exchange re-planning is driver-serial and costs
+    # ~35% wall in single-JVM mode (production clusters keep it on);
+    # one warm repeat — steady-state throughput, not JIT warmup.
+    os.environ.setdefault("SPARK_GRAFT_AQE", "0")
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
 
     # shuffle partitions FIXED (not scaled by cpus): the N-vs-4N scaling
     # comparison must run the identical plan and partitioning at both
@@ -78,7 +86,7 @@ def main() -> None:
     # is the steady-state view — in production many bucket-waves are in
     # flight at once, so per-stage barrier latency overlaps with other
     # waves' compute instead of serializing the whole cluster.
-    conc = int(os.environ.get("SPARK_GRAFT_BENCH_CONCURRENCY", "1"))
+    conc = int(os.environ.get("SPARK_GRAFT_BENCH_CONCURRENCY", "4"))
     spark = get_spark(
         app_name="pdf_parser_spark-bench",
         master=f"local[{cpus}]",

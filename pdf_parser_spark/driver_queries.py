@@ -795,10 +795,10 @@ sh AS (
            i -> array_to_string(ws[i:i+2], ' ')) AS shingles
   FROM norm)
 SELECT doc_id,
-       list_min(list_transform(shingles, s -> md5(s || ':0'))) AS sig0,
-       list_min(list_transform(shingles, s -> md5(s || ':1'))) AS sig1,
-       list_min(list_transform(shingles, s -> md5(s || ':2'))) AS sig2,
-       list_min(list_transform(shingles, s -> md5(s || ':3'))) AS sig3
+       list_min(list_transform(shingles, s -> substr(md5(s), 1, 8))) AS sig0,
+       list_min(list_transform(shingles, s -> substr(md5(s), 9, 8))) AS sig1,
+       list_min(list_transform(shingles, s -> substr(md5(s), 17, 8))) AS sig2,
+       list_min(list_transform(shingles, s -> substr(md5(s), 25, 8))) AS sig3
 FROM sh
 """
 

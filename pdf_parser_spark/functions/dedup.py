@@ -6,10 +6,11 @@
 - n-gram Jaccard        — exact similarity on candidate pairs
 - SimHash               — 32-bit weighted fingerprint, Hamming buckets
 
-Portability rule: the "random" hash family is ``md5(shingle || ':' || i)``
-and minhash takes the LEXICOGRAPHIC MIN of those hex digests.  md5-hex is
-identical in Spark and DuckDB, so every stage here has an exact SQL oracle
-(no JVM hash() / xxhash64, which DuckDB can't reproduce).
+Portability rule: the hash family is ONE md5 per shingle, sliced into
+disjoint 8-hex-char windows (one-permutation minhash); slot i takes the
+LEXICOGRAPHIC MIN of slice i.  md5-hex is identical in Spark and DuckDB,
+so every stage here has an exact SQL oracle (no JVM hash() / xxhash64,
+which DuckDB can't reproduce).
 
 Scale notes: shingling explodes ~|words| rows per doc — the shuffle is
 (doc_id) for signatures and (band_hash) for buckets; hot buckets (boiler-
@@ -60,26 +61,39 @@ def shingles(text: Column, k: int = 3) -> Column:
     )
 
 
-def minhash_signature(text: Column, n_hashes: int = 8, k: int = 3) -> Column:
-    """array<string> of ``n_hashes`` minhashes: for seed i, the
-    lexicographic min over shingles of md5(shingle || ':' || i)."""
+def minhash_signature(text: Column, n_hashes: int = 4, k: int = 3) -> Column:
+    """array<string> of ``n_hashes`` minhashes via one-permutation
+    hashing: ONE md5 per shingle, sliced into ``n_hashes`` disjoint
+    8-hex-char windows; slot i is the lexicographic min of slice i over
+    all shingles.  4× cheaper than seeded-rehash per slot at identical
+    LSH behavior (md5 bits are independent), and md5+substr is exactly
+    reproducible in the DuckDB oracle.  Requires n_hashes <= 4 (32 hex
+    chars / 8)."""
+    if n_hashes > 4:
+        raise ValueError("one-permutation minhash supports n_hashes <= 4")
     sh = shingles(text, k)
+    # single fold pass: one md5 per shingle, all slots updated together.
+    # (Separate per-slot array_min(transform(...)) expressions get inlined
+    # by CollapseProject and re-run the md5 pass once per slot.)
+    sentinel = F.array_repeat(F.lit("~" * 8), n_hashes)  # '~' > any hex
 
-    def seeded(i: int):
-        # single-arg lambda: a 2-arg lambda would receive the array index
-        # as its second parameter and shadow the seed
-        return lambda s: F.md5(F.concat(s, F.lit(f":{i}")))
+    def step(acc, s):
+        h = F.md5(s)
+        return F.array(
+            *[
+                F.least(acc[i], F.substring(h, 8 * i + 1, 8))
+                for i in range(n_hashes)
+            ]
+        )
 
-    return F.array(
-        *[F.array_min(F.transform(sh, seeded(i))) for i in range(n_hashes)]
-    )
+    return F.aggregate(sh, sentinel, step)
 
 
 def minhash_df(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    n_hashes: int = 8,
+    n_hashes: int = 4,
     k: int = 3,
 ) -> DataFrame:
     return df.select(
@@ -106,7 +120,7 @@ def lsh_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    n_hashes: int = 8,
+    n_hashes: int = 4,
     k: int = 3,
     n_bands: int = 2,
 ) -> DataFrame:
@@ -116,7 +130,16 @@ def lsh_candidate_pairs(
     never an all-pairs comparison.
     """
     rows = n_hashes // n_bands
-    sigs = minhash_df(df, id_col, text_col, n_hashes, k)
+    # materialize signatures BEFORE banding and self-joining: downstream
+    # references would otherwise inline (CollapseProject) and re-run the
+    # md5 fold once per band and once per join side — in production this
+    # is the signatures stage table
+    from pyspark.storagelevel import StorageLevel
+
+    sigs = minhash_df(df, id_col, text_col, n_hashes, k).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sigs.count()
     banded = sigs.select(
         "id",
         F.posexplode(lsh_bands(F.col("sig"), n_bands, rows)).alias(

@@ -36,9 +36,11 @@ def _py_shingles(text, k=3):
 
 
 def _py_minhash(text, n_hashes=4, k=3):
+    # one-permutation hashing: one md5 per shingle, 8-hex-char slices
     sh = _py_shingles(text, k)
+    digests = [hashlib.md5(s.encode()).hexdigest() for s in sh]
     return [
-        min(hashlib.md5(f"{s}:{i}".encode()).hexdigest() for s in sh)
+        min(d[8 * i : 8 * i + 8] for d in digests)
         for i in range(n_hashes)
     ]
 
