@@ -59,7 +59,8 @@ def f1_page_prune(spark, sf_dir):
 @q(
     "f2_nonblank_text",
     """SELECT lang, count(*) AS n_docs,
-              sum(CASE WHEN trim(text) <> '' THEN 1 ELSE 0 END) AS n_nonblank
+              CAST(sum(CASE WHEN trim(text) <> '' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_nonblank
        FROM documents GROUP BY lang""",
 )
 def f2_nonblank_text(spark, sf_dir):
@@ -159,8 +160,8 @@ def f13_required_fields(spark, sf_dir):
 @q(
     "x3_regex_extract",
     """SELECT event_type, count(*) AS n,
-              sum(CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT))
-                  AS k_sum
+              CAST(sum(CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT))
+                   AS BIGINT) AS k_sum
        FROM events GROUP BY event_type""",
 )
 def x3_regex_extract(spark, sf_dir):
@@ -337,7 +338,8 @@ def a10_longest_token(spark, sf_dir):
 
 @q(
     "w1_lead_boundaries",
-    """SELECT user_id, count(*) AS n_events, sum(gap_ms) AS total_gap_ms
+    """SELECT user_id, count(*) AS n_events,
+              CAST(sum(gap_ms) AS BIGINT) AS total_gap_ms
        FROM (
          SELECT user_id,
                 epoch_ms(lead(ts) OVER (PARTITION BY user_id ORDER BY ts,
@@ -701,8 +703,8 @@ def a3_weighted_coverage(spark, sf_dir):
 @q(
     "a4_content_quality",
     """SELECT lang, count(*) AS n_docs,
-              sum(CASE WHEN trim(text) <> '' THEN 1 ELSE 0 END)
-                  AS docs_with_content,
+              CAST(sum(CASE WHEN trim(text) <> '' THEN 1 ELSE 0 END)
+                   AS BIGINT) AS docs_with_content,
               round(CAST(sum(n_chars) AS DOUBLE)
                     / sum(CASE WHEN trim(text) <> '' THEN 1 ELSE 0 END), 4)
                   AS avg_len,
@@ -1081,11 +1083,15 @@ def pipeline_span_sequence(spark, sf_dir):
 
 @q("pipeline_sections", None)
 def pipeline_sections(spark, sf_dir):
-    """Full 5-step pipeline → sections table."""
+    """Full 5-step pipeline → sections table.  The driver-facing view
+    serializes ``tags`` to JSON (the driver canonicalizer hashes via
+    pandas and can't factorize list cells); the pipeline itself keeps
+    the array-typed column."""
     from pdf_parser_spark.pipeline import run_pipeline
 
     docs = synthesize_spans(_t(spark, sf_dir, "documents"))
-    return run_pipeline(docs, cache=True).sections
+    sections = run_pipeline(docs, cache=True).sections
+    return sections.withColumn("tags", F.to_json("tags"))
 
 
 @q("pipeline_metrics", None)
@@ -1097,15 +1103,54 @@ def pipeline_metrics(spark, sf_dir):
     return run_pipeline(docs, cache=True).metrics
 
 
-@q("multimodal_features", None)
+@q(
+    "multimodal_features",
+    """WITH refs AS (
+         SELECT DISTINCT 'img-' || CAST(doc_id AS VARCHAR) AS media_ref
+         FROM documents),
+       h AS (
+         SELECT media_ref,
+                md5('payload:' || media_ref) AS hx,
+                8 + length(media_ref) AS n_bytes
+         FROM refs)
+       SELECT media_ref,
+              'image' AS media_type,
+              CAST(n_bytes AS BIGINT) AS n_bytes,
+              array_to_string(list_transform(generate_series(0, 7), i ->
+                CAST(16 * (strpos('0123456789abcdef',
+                                  substr(hx, 2 * i + 1, 1)) - 1)
+                        + (strpos('0123456789abcdef',
+                                  substr(hx, 2 * i + 2, 1)) - 1)
+                     AS VARCHAR)), ',') AS feature_bytes,
+              'ok' AS decode_status
+       FROM h""",
+)
 def multimodal_features(spark, sf_dir):
     """Binary media column → mapInPandas feature extraction (deterministic
-    fake decoder; real decoder is the stubbed extension point)."""
+    fake decoder; real decoder is the stubbed extension point).
+
+    Driver-facing view: the ``array<double>`` feature is re-quantized to
+    its exact md5-digest bytes and serialized as a CSV string — integer-
+    exact in both engines AND hashable by the driver canonicalizer (which
+    can't factorize list cells)."""
     from pdf_parser_spark.functions import multimodal as mm
 
     docs = synthesize_spans(_t(spark, sf_dir, "documents"))
     media = mm.synthesize_media(spark, docs)
-    return mm.decode_features(media, fake=True)
+    feats = mm.decode_features(media, fake=True)
+    return feats.select(
+        "media_ref",
+        "media_type",
+        "n_bytes",
+        F.concat_ws(
+            ",",
+            F.transform(
+                "feature",
+                lambda x: F.round(x * 255).cast("int").cast("string"),
+            ),
+        ).alias("feature_bytes"),
+        "decode_status",
+    )
 
 
 @q("sim_ann_topk", None)

@@ -9,8 +9,12 @@ from __future__ import annotations
 
 import sys
 import traceback
+from pathlib import Path
 
 import duckdb
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
