@@ -1070,15 +1070,149 @@ def synthesize_spans(docs: DataFrame) -> DataFrame:
     )
 
 
-@q("pipeline_span_sequence", None)
+# DuckDB twin of synthesize_spans: shared CTE prefix for the pipeline
+# oracles.  Mirrors the Column exprs above clause-for-clause.
+_SYNTH_SPANS_CTE = """
+d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         string_split(text, ' ') AS ws,
+         greatest(CAST(ceil(length(string_split(text, ' ')) / 8.0)
+                       AS INT), 1) AS n_chunks
+  FROM documents),
+chunked AS (
+  SELECT doc_id, ws, n_chunks,
+         unnest(generate_series(0, n_chunks - 1)) AS i
+  FROM d),
+spans AS (
+  SELECT doc_id, i AS seq,
+         CASE WHEN i % 4 = 3 THEN 'page_break'
+              WHEN i % 7 = 5 THEN 'heading'
+              ELSE 'text' END AS kind,
+         CASE WHEN i % 4 = 3 THEN NULL
+              ELSE array_to_string(list_slice(ws, i * 8 + 1, i * 8 + 8),
+                                   ' ') END AS text,
+         CAST(NULL AS VARCHAR) AS media_ref,
+         i AS off
+  FROM chunked
+  UNION ALL
+  SELECT doc_id, n_chunks AS seq, 'image' AS kind, '640x480' AS text,
+         'img-' || doc_id AS media_ref, n_chunks AS off
+  FROM d),
+paged AS (
+  SELECT *,
+         CAST(1 + sum(CASE WHEN kind = 'page_break' THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY doc_id ORDER BY off, seq)
+              AS INT) AS page
+  FROM spans)
+"""
+
+_SPAN_SEQ_SQL = f"""
+WITH {_SYNTH_SPANS_CTE},
+kept AS (
+  SELECT doc_id, seq, page, kind, media_ref, off,
+         CASE WHEN kind IN ('image', 'figure')
+              THEN 'Image ' || CAST(img_id AS VARCHAR) || ': '
+                   || coalesce(media_ref, 'unnamed') || ' ('
+                   || coalesce(nullif(regexp_replace(text,
+                        '^\\s+|\\s+$', '', 'g'), ''), '0x0') || ')'
+              ELSE text END AS out_text,
+         CASE WHEN kind IN ('text', 'heading') THEN 0
+              WHEN kind = 'table' THEN 1
+              WHEN kind IN ('image', 'figure') THEN 2
+              WHEN kind = 'layout_line' THEN 3
+              ELSE 4 END AS kind_rank
+  FROM (SELECT *,
+               sum(CASE WHEN kind IN ('image', 'figure') THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id, page ORDER BY off, seq)
+                   AS img_id
+        FROM paged) w
+  WHERE kind <> 'page_break'
+    AND (kind IN ('image', 'figure')
+         OR coalesce(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '')
+            <> ''))
+SELECT doc_id, CAST(seq AS INT) AS seq, page, kind,
+       out_text AS text, media_ref,
+       CAST(row_number() OVER (PARTITION BY doc_id
+                ORDER BY page, kind_rank, off, seq) AS INT) AS "order"
+FROM kept
+"""
+
+
+@q("pipeline_span_sequence", _SPAN_SEQ_SQL)
 def pipeline_span_sequence(spark, sf_dir):
     """W2 flagship: ordered (kind, text, media_ref, order) per doc over
-    synthesized interleaved spans."""
+    synthesized interleaved spans.  The oracle replays synthesize_spans +
+    page derivation + two-phase reassembly as one DuckDB CTE chain (the
+    'order' equivalence: page_offset + page_order == row_number over
+    (page, kind_rank, offset, seq))."""
     from pdf_parser_spark.operators import pages as pages_op
 
     docs = synthesize_spans(_t(spark, sf_dir, "documents"))
     flat = pages_op.explode_spans(docs)
     return pages_op.span_sequence_df(pages_op.valid_spans(flat))
+
+
+_PAGES_SQL = f"""
+WITH {_SYNTH_SPANS_CTE},
+content_spans AS (
+  SELECT *,
+         sum(CASE WHEN kind IN ('image', 'figure') THEN 1 ELSE 0 END)
+             OVER (PARTITION BY doc_id, page ORDER BY off, seq) AS img_id
+  FROM paged WHERE kind <> 'page_break'),
+grouped AS (
+  SELECT doc_id, page,
+         coalesce(array_to_string(
+             list(coalesce(text, '') ORDER BY off, seq)
+                 FILTER (WHERE kind IN ('text', 'heading')),
+             chr(10)), '') AS text,
+         count(*) FILTER (WHERE kind IN ('image', 'figure')) AS n_images,
+         coalesce(array_to_string(
+             list('Image ' || CAST(img_id AS VARCHAR) || ': '
+                  || coalesce(media_ref, 'unnamed') || ' ('
+                  || coalesce(nullif(regexp_replace(coalesce(text, ''),
+                       '^\\s+|\\s+$', '', 'g'), ''), '0x0') || ')'
+                  ORDER BY off, seq)
+                 FILTER (WHERE kind IN ('image', 'figure')),
+             chr(10)), '') AS image_content
+  FROM content_spans GROUP BY doc_id, page),
+totals AS (
+  SELECT doc_id,
+         CAST(1 + sum(CASE WHEN kind = 'page_break' THEN 1 ELSE 0 END)
+              AS INT) AS total_pages
+  FROM spans GROUP BY doc_id),
+skeleton AS (
+  SELECT doc_id, total_pages,
+         unnest(generate_series(1, total_pages)) AS page
+  FROM totals)
+SELECT s.doc_id, CAST(s.page AS INT) AS page, s.total_pages,
+       coalesce(g.text, '') AS text,
+       CAST(coalesce(g.n_images, 0) AS BIGINT) AS n_images,
+       array_to_string(list_filter(list_value(
+           CASE WHEN regexp_replace(coalesce(g.text, ''),
+                     '^\\s+|\\s+$', '', 'g') <> ''
+                THEN '=== TEXT CONTENT ===' || chr(10) || g.text END,
+           CASE WHEN coalesce(g.n_images, 0) > 0
+                THEN '=== IMAGES ===' || chr(10) || g.image_content END),
+           x -> x IS NOT NULL), chr(10) || chr(10)) AS content
+FROM skeleton s
+LEFT JOIN grouped g ON g.doc_id = s.doc_id AND g.page = s.page
+"""
+
+
+@q("pipeline_pages", _PAGES_SQL)
+def pipeline_pages(spark, sf_dir):
+    """S1 pages stage under driver verification: per-(doc, page) text blob
+    + comprehensive content assembly (the input to metrics/TOC/sections),
+    fully replayed by a DuckDB CTE twin."""
+    from pdf_parser_spark.operators import pages as pages_op
+
+    docs = synthesize_spans(_t(spark, sf_dir, "documents"))
+    pg = pages_op.pages_df(
+        pages_op.valid_spans(pages_op.explode_spans(docs))
+    )
+    return pg.select(
+        "doc_id", "page", "total_pages", "text", "n_images", "content"
+    )
 
 
 @q("pipeline_sections", None)
@@ -1153,9 +1287,48 @@ def multimodal_features(spark, sf_dir):
     )
 
 
-@q("sim_ann_topk", None)
+_ANN_SQL = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+planes AS (
+  SELECT bb.b AS b,
+         list_transform(generate_series(0, 63), d ->
+           CASE WHEN (strpos('0123456789abcdef',
+                 substr(md5('plane:' || CAST(bb.b AS VARCHAR) || ':'
+                        || CAST(d AS VARCHAR)), 2, 1)) - 1) % 2 = 0
+                THEN 1.0 ELSE -1.0 END) AS prow
+  FROM (SELECT unnest(generate_series(0, 3)) AS b) bb),
+buckets AS (
+  SELECT e.vec_id, any_value(e.v) AS v,
+         CAST(sum(CASE WHEN list_dot_product(e.v, p.prow) > 0
+                  THEN CAST(pow(2, p.b) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS bucket
+  FROM e CROSS JOIN planes p
+  GROUP BY e.vec_id),
+q AS (SELECT v AS qv, bucket AS qb FROM buckets WHERE vec_id = 0),
+probes AS (
+  SELECT qb AS pb FROM q
+  UNION
+  SELECT xor(q.qb, CAST(pow(2, t.b) AS BIGINT)) AS pb
+  FROM q, (SELECT unnest(generate_series(0, 3)) AS b) t)
+SELECT b.vec_id AS id,
+       round(list_dot_product(b.v, q.qv)
+             / (sqrt(list_dot_product(b.v, b.v))
+                * sqrt(list_dot_product(q.qv, q.qv))), 6) AS score
+FROM buckets b, q
+WHERE b.bucket IN (SELECT pb FROM probes)
+ORDER BY score DESC, id LIMIT 10
+"""
+
+
+@q("sim_ann_topk", _ANN_SQL)
 def sim_ann_topk(spark, sf_dir):
-    """LSH-bucketed approximate NN top-k (scale path of sim_cosine_topk)."""
+    """LSH-bucketed approximate NN top-k (scale path of sim_cosine_topk),
+    multi-probe radius 1.  The md5-derived hyperplanes are portable by
+    construction, so the oracle recomputes buckets + probe set in SQL
+    (64-dim embeddings table; parity of md5 hex char 2 == parity of the
+    first byte)."""
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double")).alias(
@@ -1163,7 +1336,7 @@ def sim_ann_topk(spark, sf_dir):
         ),
     )
     qvec = emb.filter(F.col("vec_id") == 0).head()["embedding"]
-    return sim.ann_topk(emb, qvec, k=10, n_bits=4)
+    return sim.ann_topk(emb, qvec, k=10, n_bits=4, radius=1)
 
 
 # ---------------------------------------------------------------------------

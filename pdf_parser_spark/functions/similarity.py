@@ -93,6 +93,34 @@ def lsh_bucket(vec: Column, dim: int, n_bits: int = 8) -> Column:
     return out
 
 
+def query_bucket(query_vec: list, n_bits: int) -> int:
+    """Driver-side bucket of a query vector (same hash family as
+    ``lsh_bucket``; left-to-right float sum matches the Column fold)."""
+    planes = _plane(len(query_vec), n_bits)
+    qbucket = 0
+    for b, row in enumerate(planes):
+        proj = sum(c * float(x) for c, x in zip(row, query_vec))
+        if proj > 0:
+            qbucket |= 1 << b
+    return qbucket
+
+
+def probe_buckets(query_vec: list, n_bits: int, radius: int = 1) -> list:
+    """Multi-probe bucket set: the query's bucket plus every bucket within
+    the given Hamming radius (radius 1 flips each single bit).  Sorted,
+    deterministic — at scale this is the partition-pruning IN-list."""
+    qb = query_bucket(query_vec, n_bits)
+    probes = {qb}
+    if radius >= 1:
+        for b in range(n_bits):
+            probes.add(qb ^ (1 << b))
+    if radius >= 2:
+        for b1 in range(n_bits):
+            for b2 in range(b1 + 1, n_bits):
+                probes.add(qb ^ (1 << b1) ^ (1 << b2))
+    return sorted(probes)
+
+
 def ann_topk(
     embeddings: DataFrame,
     query_vec: list,
@@ -100,21 +128,19 @@ def ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_bits: int = 8,
+    radius: int = 1,
 ) -> DataFrame:
-    """LSH-pruned cosine top-k: scan only rows in the query's bucket.
+    """LSH-pruned cosine top-k: scan only rows in the query's probe
+    buckets (multi-probe: Hamming-radius neighbors of the query bucket).
 
     Bucket assignment is a pure projection → at scale the embeddings table
-    is written partitioned by ``bucket`` and the scan prunes to one
-    partition; recall is tuned by lowering n_bits or multi-probing.
+    is written partitioned by ``bucket`` and the IN-list prunes to
+    ``1 + n_bits`` partitions (radius 1) of ``2^n_bits``; recall is tuned
+    by ``radius``/``n_bits`` (see tests/test_functions.py recall gate).
     """
     dim = len(query_vec)
-    planes = _plane(dim, n_bits)
-    qbucket = 0
-    for b, row in enumerate(planes):
-        proj = sum(c * float(x) for c, x in zip(row, query_vec))
-        if proj > 0:
-            qbucket |= 1 << b
+    probes = probe_buckets(query_vec, n_bits, radius)
     pruned = embeddings.filter(
-        lsh_bucket(F.col(vec_col), dim, n_bits) == F.lit(qbucket)
+        lsh_bucket(F.col(vec_col), dim, n_bits).isin(probes)
     )
     return cosine_topk(pruned, query_vec, k, id_col, vec_col)
