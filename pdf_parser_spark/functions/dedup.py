@@ -133,13 +133,14 @@ def lsh_candidate_pairs(
     # materialize signatures BEFORE banding and self-joining: downstream
     # references would otherwise inline (CollapseProject) and re-run the
     # md5 fold once per band and once per join side — in production this
-    # is the signatures stage table
-    from pyspark.storagelevel import StorageLevel
-
-    sigs = minhash_df(df, id_col, text_col, n_hashes, k).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # is the signatures stage table.  localCheckpoint (not persist):
+    # truncates the lineage with the same effect, but its blocks are
+    # released by the ContextCleaner when the DataFrame is dropped —
+    # persist() here leaked one MEMORY_AND_DISK cache entry per
+    # invocation for the session lifetime (nobody could unpersist it).
+    sigs = minhash_df(df, id_col, text_col, n_hashes, k).localCheckpoint(
+        eager=True
     )
-    sigs.count()
     banded = sigs.select(
         "id",
         F.posexplode(lsh_bands(F.col("sig"), n_bands, rows)).alias(

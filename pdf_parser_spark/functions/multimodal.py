@@ -98,14 +98,26 @@ def decode_features(media: DataFrame, fake: bool = False) -> DataFrame:
     return media.mapInPandas(batches, FEATURES_SCHEMA)
 
 
-def link_media(spans_out: DataFrame, media: DataFrame) -> DataFrame:
+def link_media(
+    spans_out: DataFrame,
+    media: DataFrame,
+    broadcast: bool | None = None,
+) -> DataFrame:
     """Media-reference linking (north rule): join image/figure spans to
-    their payload metadata on ``media_ref``.  The media side (a dimension
-    table of distinct assets) is broadcast when small; at 100 TB the hot
-    media_ref skew is handled by AQE skew-join (session default)."""
+    their payload metadata on ``media_ref``.
+
+    Join strategy is gated, not hard-wired: at 100 TB the distinct-asset
+    dimension is NOT broadcastable, so by default (``broadcast=None``) no
+    hint is planted and AQE sizes the join at runtime (broadcast when the
+    dim is under the threshold, sort-merge + skew-split otherwise — hot
+    media_refs are the documented skew case).  Pass ``broadcast=True``
+    only when the caller KNOWS the dim is bounded (e.g. a per-tenant
+    asset catalog)."""
     media_dim = media.select("media_ref", "media_type", "width", "height")
+    if broadcast:
+        media_dim = F.broadcast(media_dim)
     image_spans = spans_out.filter(F.col("kind").isin("image", "figure"))
-    return image_spans.join(F.broadcast(media_dim), "media_ref", "left")
+    return image_spans.join(media_dim, "media_ref", "left")
 
 
 def synthesize_media(spark, docs: DataFrame) -> DataFrame:

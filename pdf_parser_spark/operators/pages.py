@@ -175,8 +175,14 @@ def span_sequence_df(valid: DataFrame) -> DataFrame:
         "page_offset", F.coalesce(F.sum("cnt").over(w_doc), F.lit(0))
     ).select("doc_id", "page", "page_offset")
 
+    # Join back on (doc_id, page).  NO broadcast hint: ``offsets`` has one
+    # row per (doc, page) over the whole corpus — tiny per doc but
+    # corpus-sized globally, a guaranteed driver OOM at 10^12 docs.  Both
+    # sides are already hash-partitioned on (doc_id, page) (the window
+    # above / the groupBy), so the shuffle join reuses those exchanges;
+    # locally AQE still picks a broadcast at runtime when actually small.
     return (
-        kept.join(F.broadcast(offsets), ["doc_id", "page"])
+        kept.join(offsets, ["doc_id", "page"])
         .select(
             "doc_id",
             "seq",

@@ -40,7 +40,20 @@ def salted_equi_join(
 
     ``salt_from``: a left-side column with high cardinality (e.g. doc_id)
     that determines the bucket deterministically.
+
+    Only inner/left joins are valid: the right side is replicated across
+    ``n_salts`` salt values, so right/full outer joins would emit
+    ``n_salts`` copies of every unmatched right row, and semi/anti joins
+    lose their set semantics entirely.
     """
+    allowed = {"inner", "left", "leftouter", "left_outer"}
+    if how.lower().replace("_", "") not in {
+        h.replace("_", "") for h in allowed
+    }:
+        raise ValueError(
+            f"salted_equi_join supports only {sorted(allowed)} (the "
+            f"salt-replicated right side breaks {how!r} semantics)"
+        )
     lsalted = left.withColumn("_salt", _salt_of(F.col(salt_from), n_salts))
     rsalted = right.select(
         "*",

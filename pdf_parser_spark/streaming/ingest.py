@@ -41,6 +41,22 @@ def spans_out_stream(docs: DataFrame,
     return pages_op.span_sequence_df(pages_op.valid_spans(flat))
 
 
+def write_batch(out: DataFrame, batch_id: int, out_path: str) -> None:
+    """Idempotent per-batch sink: partition by ``_batch_id`` + dynamic
+    partition overwrite, so replaying a batch (crash between write and
+    checkpoint commit) REPLACES its own partition instead of appending a
+    duplicate copy."""
+    from pyspark.sql import functions as F
+
+    (
+        out.withColumn("_batch_id", F.lit(batch_id))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch_id")
+        .parquet(out_path)
+    )
+
+
 def run_available_now(
     spark: SparkSession,
     in_path: str,
@@ -50,12 +66,20 @@ def run_available_now(
 ):
     """Process everything currently available, then stop.  Re-invoking
     after new files land processes ONLY the new files (checkpointed file
-    index) — kill-resume safe via the sink's idempotent file commit."""
+    index).
+
+    Exactly-once: a blind ``append`` inside foreachBatch is only
+    at-least-once — a crash after the write but before the checkpoint
+    commit re-runs the batch on resume and duplicates every row (fresh
+    part-file names, nothing overwritten).  Instead the output is
+    partitioned by ``_batch_id`` and written with dynamic partition
+    overwrite, so a replayed batch REPLACES its own partition — the
+    write is idempotent per batch id (same device as lineage.py's
+    bucketed overwrite)."""
     docs = read_documents_stream(spark, in_path)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        out = spans_out_stream(batch_df, cfg)
-        out.write.mode("append").parquet(out_path)
+        write_batch(spans_out_stream(batch_df, cfg), batch_id, out_path)
 
     query = (
         docs.writeStream.foreachBatch(process_batch)

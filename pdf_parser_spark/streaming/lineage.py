@@ -131,8 +131,10 @@ def run_resumable(
                 "done",
                 int(got.get("docs") or 0),
                 int(got.get("spans") or 0),
-                _dt.datetime.utcfromtimestamp(started),
-                _dt.datetime.utcfromtimestamp(finished),
+                _dt.datetime.fromtimestamp(started, _dt.timezone.utc)
+                .replace(tzinfo=None),
+                _dt.datetime.fromtimestamp(finished, _dt.timezone.utc)
+                .replace(tzinfo=None),
                 {"wave": float(wi)},
             )
             for b in wave

@@ -68,11 +68,38 @@ def test_toc_has_single_udf_stage(spark):
 
 
 def test_span_sequence_no_python_and_bounded_shuffles(spark, docs_df):
+    """Two-phase reassembly: window + count agg + join back on
+    (doc_id, page).  The plan must contain neither Python stages, nor a
+    global range sort (whole-doc exchange), nor a STATIC broadcast of the
+    corpus-cardinality offsets relation — at 10^12 docs that broadcast is
+    a driver OOM.  (AQE may still choose a broadcast at RUNTIME from
+    observed sizes; what we forbid is the compile-time hint.)"""
     from pdf_parser_spark.operators import pages as P
 
     out = P.span_sequence_df(P.valid_spans(P.explode_spans(docs_df)))
     plan = _plan(out)
     assert "Python" not in plan
-    # two-phase reassembly: window + count agg + broadcast join back —
-    # the per-doc global sort must NOT appear as a whole-doc exchange
+    # no global sort: every Exchange is hashpartitioning, never range
+    assert "rangepartitioning" not in plan
+    # no planted hint in the logical plan (runtime AQE choices are fine)
+    optimized = _optimized(out)
+    assert "ResolvedHint" not in optimized
+    assert ", broadcast" not in optimized
+
+
+def test_link_media_broadcast_is_gated(spark, docs_df):
+    """link_media must not hard-wire a broadcast of the media dimension
+    (unbounded at corpus scale); the hint appears only on opt-in."""
+    from pdf_parser_spark.functions import multimodal as mm
+    from pdf_parser_spark.operators import pages as P
+
+    spans = P.span_sequence_df(P.valid_spans(P.explode_spans(docs_df)))
+    media = mm.synthesize_media(spark, docs_df)
+
+    default = mm.link_media(spans, media)
+    assert ", broadcast" not in _optimized(default)
+    assert default.count() >= 0  # runs end-to-end
+
+    opted_in = mm.link_media(spans, media, broadcast=True)
+    plan = _plan(opted_in)
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan

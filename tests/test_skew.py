@@ -60,3 +60,15 @@ def test_salted_agg_matches_plain(spark):
         ).collect()
     }
     assert plain == salted
+
+
+def test_salted_join_rejects_outer_and_semi(spark):
+    """The salt-replicated right side breaks right/full-outer and
+    semi/anti semantics; the helper must refuse them loudly."""
+    import pytest
+
+    big = spark.range(10).withColumnRenamed("id", "k")
+    dim = spark.range(3).withColumnRenamed("id", "k")
+    for bad in ("right", "full", "outer", "left_semi", "left_anti"):
+        with pytest.raises(ValueError, match="salted_equi_join"):
+            K.salted_equi_join(big, dim, "k", "k", n_salts=4, how=bad)

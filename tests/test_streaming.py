@@ -56,3 +56,29 @@ def test_available_now_incremental(spark, oracle_results):
             assert have == want, f"streaming mismatch for {doc_id}"
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_batch_replay_is_idempotent(spark):
+    """Crash-window semantics: a batch re-run after a crash between the
+    sink write and the checkpoint commit must NOT duplicate rows — the
+    per-batch dynamic partition overwrite replaces, never appends."""
+    from pdf_parser_spark.operators import pages as P
+
+    tmp = tempfile.mkdtemp(prefix="replay_", dir="/root/repo")
+    try:
+        out_dir = f"{tmp}/out"
+        docs = to_spark_df(spark, fixture_corpus(n_docs=4))
+        out = P.span_sequence_df(P.valid_spans(P.explode_spans(docs)))
+
+        I.write_batch(out, 0, out_dir)
+        n_once = spark.read.parquet(out_dir).count()
+        # simulated replay of the SAME batch id (checkpoint not committed)
+        I.write_batch(out, 0, out_dir)
+        n_twice = spark.read.parquet(out_dir).count()
+        assert n_once == n_twice > 0
+
+        # a genuinely new batch still lands alongside
+        I.write_batch(out, 1, out_dir)
+        assert spark.read.parquet(out_dir).count() == 2 * n_once
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
