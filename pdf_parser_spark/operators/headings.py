@@ -1,0 +1,216 @@
+"""Heading-detection strategy registry — the Spark-first mirror of the
+reference's pluggable ``HeadingDetector`` (heading_strategies.py:198-266,
+``add_strategy`` :211-217).
+
+Where the reference registers Python objects implementing
+``HeadingStrategyInterface.get_confidence(line) -> float``, this registry
+holds named **Column-expression builders**: ``builder(clean: Column) ->
+Column[double]``.  The detector composes them into ONE native expression
+(argmax with the reference's strict-``>`` first-wins tie rule), so a
+third-party strategy runs inside whole-stage codegen — no Python in the
+loop, unlike the pandas-UDF path it replaces.
+
+Default strategies pin the reference confidences bit-for-bit
+(numbered heading_strategies.py:64-87, all-caps :89-137, mixed-cap
+:140-193); parity is enforced by the oracle suite (refsem.detect_heading)
+and the golden replay.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, List
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pdf_parser_spark.operators.exprs import py_strip
+
+Builder = Callable[[Column], Column]
+
+
+@dataclass(frozen=True)
+class HeadingStrategy:
+    name: str
+    builder: Builder
+
+
+def _numbered(clean: Column) -> Column:
+    """'1.2.3 Title' → min(1.0, 0.6 + 0.2 * #dots)
+    (heading_strategies.py:64-87)."""
+    dots = F.length(clean) - F.length(
+        F.replace(clean, F.lit("."), F.lit(""))
+    )
+    return F.when(
+        clean.rlike(r"^\d+(\.\d+)*\s+\S"),
+        F.least(F.lit(1.0), F.lit(0.6) + dots * 0.2),
+    ).otherwise(F.lit(0.0))
+
+
+def _allcaps(clean: Column) -> Column:
+    """'SECTION HEADING' → upper-alpha ratio
+    (heading_strategies.py:89-137)."""
+    caps = F.length(F.regexp_replace(clean, "[^A-Z]", ""))
+    alpha = F.length(F.regexp_replace(clean, "[^A-Za-z]", ""))
+    return F.when(
+        clean.rlike(r"^[A-Z0-9\s\-\(\/]{4,}$")
+        & (caps >= 2)
+        & (alpha > 0),
+        F.least(F.lit(1.0), caps.cast("double") / alpha),
+    ).otherwise(F.lit(0.0))
+
+
+def _mixedcap(clean: Column) -> Column:
+    """'Title Case Heading' → capitalized-word ratio
+    (heading_strategies.py:140-193)."""
+    words = F.split(py_strip(clean), r"\s+", -1)
+    nwords = F.size(words)
+    cap = F.size(
+        F.filter(
+            words, lambda w: F.substring(w, 1, 1).rlike("[A-Z0-9]")
+        )
+    )
+    # reference: cap < max(1, len(words) // 2) rejects — note the FLOOR
+    return F.when(
+        (nwords >= 2)
+        & (
+            cap
+            >= F.greatest(
+                F.lit(1).cast("long"), F.floor(nwords / 2)
+            )
+        ),
+        cap.cast("double") / nwords,
+    ).otherwise(F.lit(0.0))
+
+
+def default_strategies() -> List[HeadingStrategy]:
+    """The reference's default strategy order — order matters: ties break
+    to the EARLIEST strategy (strict '>' in the argmax)."""
+    return [
+        HeadingStrategy("numbered", _numbered),
+        HeadingStrategy("all_caps", _allcaps),
+        HeadingStrategy("mixed_cap", _mixedcap),
+    ]
+
+
+@dataclass
+class HeadingRegistry:
+    """Mutable, ordered registry — ``add_strategy`` mirrors the reference
+    extension point (heading_strategies.py:211-217)."""
+
+    strategies: List[HeadingStrategy] = field(
+        default_factory=default_strategies
+    )
+
+    def add_strategy(self, name: str, builder: Builder) -> None:
+        if not callable(builder):
+            raise TypeError("builder must be a Column-expr callable")
+        self.strategies.append(HeadingStrategy(name, builder))
+
+
+DEFAULT_REGISTRY = HeadingRegistry()
+
+
+def detect_heading_expr(
+    line: Column, registry: HeadingRegistry | None = None
+) -> Column:
+    """HeadingDetector.detect_heading (heading_strategies.py:219-255):
+    stripped line when any strategy's confidence > 0, else NULL."""
+    registry = registry or DEFAULT_REGISTRY
+    clean = py_strip(F.coalesce(line, F.lit("")))
+    best = F.lit(0.0)
+    for s in registry.strategies:
+        c = s.builder(clean)
+        best = F.when(c > best, c).otherwise(best)
+    return F.when(best > 0, clean)
+
+
+def best_strategy_expr(
+    line: Column, registry: HeadingRegistry | None = None
+) -> Column:
+    """First-wins argmax over strategy names (A8/A9 strategy stats —
+    HeadingDetector.get_strategy_stats, heading_strategies.py:236-243):
+    NULL when nothing matches."""
+    registry = registry or DEFAULT_REGISTRY
+    clean = py_strip(F.coalesce(line, F.lit("")))
+    strategies = registry.strategies
+    best = strategies[0].builder(clean)
+    name = F.when(best > 0, F.lit(strategies[0].name))
+    for s in strategies[1:]:
+        c = s.builder(clean)
+        name = F.when(c > best, F.lit(s.name)).otherwise(name)
+        best = F.when(c > best, c).otherwise(best)
+    return name
+
+
+def strategy_stats_df(
+    lines: DataFrame,
+    line_col: str = "line",
+    registry: HeadingRegistry | None = None,
+) -> DataFrame:
+    """Per-strategy match counts over a lines DataFrame — one shuffle on
+    the (tiny) strategy-name key."""
+    return (
+        lines.select(
+            best_strategy_expr(F.col(line_col), registry).alias("strategy")
+        )
+        .filter(F.col("strategy").isNotNull())
+        .groupBy("strategy")
+        .agg(F.count("*").alias("matches_found"))
+    )
+
+
+def detect_enhanced_heading_expr(
+    content: Column,
+    page: Column,
+    registry: HeadingRegistry | None = None,
+) -> Column:
+    """detect_enhanced_heading (section_parser.py:395-426) as one native
+    expression: strategy argmax over the first 10 lines, then the
+    first-5-lines shape fallback, then 'Content from Page N'.
+
+    Replaces the pandas-UDF path: the whole scan is array exprs inside
+    codegen, so the uncovered-page minority no longer crosses into
+    Python at all."""
+    c = F.coalesce(content, F.lit(""))
+    lines = F.split(c, "\n", -1)
+
+    detected = F.filter(
+        F.transform(
+            F.slice(lines, 1, 10),
+            lambda l: detect_heading_expr(l, registry),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    primary = F.get(detected, 0)
+
+    def _fallback_ok(l: Column) -> Column:
+        s = py_strip(l)
+        is_upper = (F.upper(s) == s) & (F.lower(s) != s)
+        has_digit = F.substring(s, 1, 10).rlike("[0-9]")
+        few_spaces = (
+            F.length(s)
+            - F.length(F.replace(s, F.lit(" "), F.lit("")))
+        ) <= 8
+        return (
+            (s != "")
+            & (F.length(s) < 100)
+            & (is_upper | has_digit | few_spaces)
+        )
+
+    fallback = F.get(
+        F.filter(
+            F.transform(
+                F.slice(lines, 1, 5),
+                lambda l: F.when(_fallback_ok(l), py_strip(l)),
+            ),
+            lambda x: x.isNotNull(),
+        ),
+        0,
+    )
+
+    return F.coalesce(
+        primary,
+        fallback,
+        F.format_string("Content from Page %d", page.cast("int")),
+    )

@@ -9,7 +9,7 @@ Dataflow (all shuffles keyed on ``doc_id``):
    content assembled with the PAGE BREAK sentinel, in page order, via
    ``array_sort(collect_list(...))`` — no per-doc global sort.
 3. J3: interval anti-join → uncovered pages → per-page sections (heading
-   detection = one scalar pandas UDF over the uncovered minority).
+   detection = native strategy-registry Column exprs, operators/headings).
 4. J5: anti-join remaining pages → content-based sections (natural-heading
    state machine as a pandas UDF returning (title, content) pairs).
 5. W5: per-doc final ordering by (page, section_id, pass, intra) —
@@ -30,6 +30,7 @@ from pyspark.sql.types import (
 )
 
 from pdf_parser_spark.config import DEFAULT_CONFIG, PipelineConfig
+from pdf_parser_spark.operators import headings
 from pdf_parser_spark.operators.exprs import py_strip
 from pdf_parser_spark.oracle import refsem
 
@@ -43,19 +44,6 @@ _PAIR_TYPE = ArrayType(
         ]
     )
 )
-
-
-@F.pandas_udf(StringType())
-def _detect_heading_udf(content: pd.Series, page: pd.Series) -> pd.Series:
-    """detect_enhanced_heading (section_parser.py:395-426): first-10-lines
-    strategy argmax + first-5-lines shape fallback.  Applied only to the
-    uncovered-page minority."""
-    return pd.Series(
-        [
-            refsem.detect_enhanced_heading(c or "", int(p))
-            for c, p in zip(content, page)
-        ]
-    )
 
 
 @F.pandas_udf(_PAIR_TYPE)
@@ -105,11 +93,18 @@ def sections_df(
     metadata: DataFrame,
     cfg: PipelineConfig = DEFAULT_CONFIG,
     persist: bool = True,
+    heading_registry=None,
 ) -> DataFrame:
     """Full section assembly; returns SECTIONS_OUT + ``order`` per doc.
 
     ``persist`` caches the page-section pass: it is consumed twice (the
-    final union and the J5 anti-join) and carries a pandas-UDF stage."""
+    final union and the J5 anti-join).
+
+    ``heading_registry``: a ``headings.HeadingRegistry`` of Column-expr
+    confidence builders (default: the reference's three strategies) —
+    the pluggable heading-detection extension point, mirroring
+    HeadingDetector.add_strategy (heading_strategies.py:211-217) but
+    fully JVM-side."""
     totals = pages.groupBy("doc_id").agg(
         F.max("total_pages").alias("total_pages")
     )
@@ -203,7 +198,10 @@ def sections_df(
     ).filter(py_strip(F.coalesce("content", F.lit(""))) != "")
     page_sections = (
         uncovered.withColumn(
-            "title", _detect_heading_udf("content", "page")
+            "title",
+            headings.detect_enhanced_heading_expr(
+                F.col("content"), F.col("page"), heading_registry
+            ),
         )
         .join(doc_title_map, "doc_id", "left")
         .select(
