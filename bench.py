@@ -156,19 +156,47 @@ def main() -> None:
         for name in RELATIONAL:
             timed(name, lambda n=name: all_q[n](spark, sf_dir).count())
 
-    print(
-        json.dumps(
-            {
-                "metric": "documents/sec end-to-end extraction",
-                "value": docs_per_sec,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-                "docs": total_docs,
-                "cpus": cpus,
-            }
+    result = {
+        "metric": "documents/sec end-to-end extraction",
+        "value": docs_per_sec,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "docs": total_docs,
+        "cpus": cpus,
+    }
+
+    # --- round-over-round regression tracking ----------------------------
+    # BENCH/baseline_times.json pins the round-1 per-query seconds; a
+    # query is flagged when it exceeds max(2x baseline, baseline + 1s)
+    # (the +1s floor de-noises sub-second queries whose wall time is JIT
+    # jitter).  Comparison only applies at the baseline's (sf, docs, cpus)
+    # so local sf0.01 iteration isn't compared against sf0.1 numbers.
+    # SPARK_GRAFT_BENCH_STRICT=1 exits non-zero on regression.
+    baseline_path = REPO / "BENCH" / "baseline_times.json"
+    if baseline_path.exists():
+        base = json.loads(baseline_path.read_text())
+        comparable = (
+            base.get("sf") == sf
+            and base.get("docs") == total_docs
+            and base.get("cpus") == cpus
         )
-    )
+        regressions = {}
+        if comparable:
+            for name, b in base.get("queries", {}).items():
+                t = times.get(name)
+                if t is not None and t > max(2 * b, b + 1.0):
+                    regressions[name] = {"baseline_s": b, "now_s": t}
+        result["baseline"] = {
+            "ref": "BENCH/baseline_times.json",
+            "comparable": comparable,
+            "regressions": regressions,
+        }
+        if regressions and os.environ.get("SPARK_GRAFT_BENCH_STRICT"):
+            print(json.dumps(result))
+            sys.exit(1)
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -1,10 +1,13 @@
 """N-vs-4N scaling evidence (BASELINE.json criterion; sandbox protocol per
 BASELINE.md): run the SAME end-to-end pipeline on the SAME corpus at
-local[8] and local[32] in fresh JVMs, report throughput at both and the
-scaling efficiency (throughput_4N / throughput_N) / 4.
+local[N] and local[4N] in fresh JVMs (default N=2 → the 2-vs-8 pair
+inside this box's hardware envelope; override with SPARK_GRAFT_SCALE_N),
+report throughput at both and the scaling efficiency
+(throughput_4N / throughput_N) / 4.
 
 Usage: python tools/scaling_bench.py [n_docs] [mega_spans]
-Writes BENCH/scaling.json and prints a summary.
+Writes BENCH/scaling.json (the authoritative artifact BENCH/README.md
+cites) and prints a summary.
 """
 
 from __future__ import annotations
@@ -30,6 +33,16 @@ def run(cpus: int, n_docs: int, mega: int) -> dict:
         # not per-document work)
         SPARK_GRAFT_SHUFFLE_PARTITIONS="32",
         SPARK_GRAFT_BENCH_REPEATS="2",
+        # the committed BENCH/scaling.json protocol: 48g driver heap
+        # (480k-doc corpus at concurrency 4 needs it; bench.py's 24g
+        # default targets the 160k default corpus) and 4 pipeline slices
+        SPARK_GRAFT_DRIVER_MEM=os.environ.get(
+            "SPARK_GRAFT_DRIVER_MEM", "48g"
+        ),
+        SPARK_GRAFT_BENCH_CONCURRENCY=os.environ.get(
+            "SPARK_GRAFT_BENCH_CONCURRENCY", "4"
+        ),
+        SPARK_GRAFT_BENCH_SKIP_RELATIONAL="1",
         SPARK_GRAFT_SF_DIR=os.environ.get(
             "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
         ),
@@ -66,24 +79,45 @@ def main() -> None:
 
     eff = (r_hi["value"] / r_lo["value"]) / 4.0
     summary = {
-        "n_docs": n_docs,
-        "mega_spans": mega,
-        "levels": [n_lo, n_hi],
-        f"local{n_lo}_docs_per_sec": r_lo["value"],
-        f"local{n_hi}_docs_per_sec": r_hi["value"],
-        f"local{n_lo}": r_lo,
-        f"local{n_hi}": r_hi,
-        "scaling_efficiency": round(eff, 3),
-        "target": 0.8,
-        "pass": eff >= 0.8,
+        "corpus": {
+            "n_docs": n_docs,
+            "mega_every": 10000,
+            "mega_spans": mega,
+            "layout": "doc_id-range, 128 files",
+        },
+        "config": {
+            "aqe": False,
+            "shuffle_partitions": 32,
+            "concurrency_slices": int(
+                os.environ.get("SPARK_GRAFT_BENCH_CONCURRENCY", "4")
+            ),
+            "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+            "warmup": "1/8-slice run, then steady-state measured",
+            "fresh_jvm_per_level": True,
+        },
+        "runs": {
+            f"local{n_lo}": {
+                "docs_per_sec": r_lo["value"],
+                "pipeline_e2e_s": r_lo["queries"]["pipeline_e2e"],
+            },
+            f"local{n_hi}": {
+                "docs_per_sec": r_hi["value"],
+                "pipeline_e2e_s": r_hi["queries"]["pipeline_e2e"],
+            },
+        },
+        "headline": {
+            "pair": f"local[{n_lo}] vs local[{n_hi}]",
+            "scaling_efficiency": round(eff, 3),
+            "target": 0.8,
+            "pass": eff >= 0.8,
+        },
     }
     bench_dir = REPO / "BENCH"
     bench_dir.mkdir(exist_ok=True)
-    (bench_dir / "scaling_rerun.json").write_text(
-        json.dumps(summary, indent=2)
-    )
-    print(json.dumps({k: summary[k] for k in
-                      ("levels", "scaling_efficiency", "pass")}))
+    # scaling.json IS the authoritative machine-written artifact (the
+    # README points here); a rerun overwrites it with the config used
+    (bench_dir / "scaling.json").write_text(json.dumps(summary, indent=2))
+    print(json.dumps(summary["headline"]))
 
 
 if __name__ == "__main__":
