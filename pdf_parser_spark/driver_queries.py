@@ -1339,6 +1339,124 @@ def sim_ann_topk(spark, sf_dir):
     return sim.ann_topk(emb, qvec, k=10, n_bits=4, radius=1)
 
 
+def synthesize_html(docs: DataFrame) -> DataFrame:
+    """Deterministically lift ``documents`` into HTML pages: 12-word
+    paragraphs inside a content div, wrapped in link-dense chrome
+    (title / nav / footer) the boilerplate stripper must remove."""
+    words = F.split(F.col("text"), " ", -1)
+    n = F.size(words)
+    n_chunks = F.greatest(F.ceil(n / 12).cast("int"), F.lit(1))
+    idx = F.sequence(F.lit(0), n_chunks - 1)
+    paras = F.array_join(
+        F.transform(
+            idx,
+            lambda i: F.concat(
+                F.lit("<p>"),
+                F.array_join(F.slice(words, i * 12 + 1, 12), " "),
+                F.lit("</p>"),
+            ),
+        ),
+        "\n",
+    )
+    html = F.concat(
+        F.lit("<html><head><title>Document "),
+        F.col("doc_id").cast("string"),
+        F.lit(
+            '</title></head><body>\n<nav><a href="/">Home</a> '
+            '<a href="/docs">Docs</a> <a href="/about">About</a></nav>\n'
+            '<div class="content">\n'
+        ),
+        paras,
+        F.lit(
+            '\n</div>\n<footer><a href="/terms">Terms</a> '
+            '<a href="/privacy">Privacy</a></footer>\n</body></html>'
+        ),
+    )
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        html.alias("html"),
+    )
+
+
+_HTML_MAIN_SQL = """
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         string_split(text, ' ') AS ws
+  FROM documents),
+c AS (
+  SELECT doc_id, ws,
+         greatest(CAST(ceil(length(ws) / 12.0) AS INT), 1) AS n_chunks
+  FROM d),
+chunks AS (
+  SELECT doc_id, i,
+         array_to_string(list_slice(ws, i * 12 + 1, i * 12 + 12), ' ')
+             AS chunk
+  FROM c, unnest(generate_series(0, n_chunks - 1)) AS t(i)),
+flags AS (
+  SELECT doc_id, i, chunk,
+         length(string_split(chunk, ' ')) >= 10 AS long_good
+  FROM chunks WHERE chunk <> ''),
+keep AS (
+  SELECT doc_id, i, chunk FROM (
+    SELECT doc_id, i, chunk, long_good,
+           coalesce(lag(long_good) OVER w, false) AS prev_good,
+           coalesce(lead(long_good) OVER w, false) AS next_good
+    FROM flags
+    WINDOW w AS (PARTITION BY doc_id ORDER BY i)) g
+  WHERE long_good OR prev_good OR next_good)
+SELECT doc_id,
+       string_agg(chunk, chr(10) ORDER BY i) AS main_text
+FROM keep GROUP BY doc_id
+"""
+
+
+@q("html_main_content", _HTML_MAIN_SQL)
+def html_main_content(spark, sf_dir):
+    """HTML boilerplate strip (north rule): parse synthesized HTML pages,
+    classify blocks by link-density / length / neighbor smoothing, and
+    return each doc's main content.  The oracle NEVER parses HTML — it
+    recomputes the expected paragraphs straight from the source words, so
+    equality proves the tokenizer + density classifier end-to-end
+    (chrome title/nav/footer stripped, every content paragraph kept, in
+    DOM order)."""
+    from pdf_parser_spark.functions import boilerplate as bp
+
+    docs = synthesize_html(_t(spark, sf_dir, "documents"))
+    return bp.main_content_df(docs)
+
+
+_MEDIA_LINK_SQL = f"""
+WITH {_SYNTH_SPANS_CTE},
+imgs AS (
+  SELECT doc_id, media_ref,
+         CAST(page AS INT) AS page
+  FROM paged WHERE kind = 'image')
+SELECT i.doc_id, i.media_ref, i.page,
+       'image' AS media_type,
+       CAST(640 AS INT) AS width,
+       CAST(480 AS INT) AS height
+FROM imgs i
+"""
+
+
+@q("multimodal_link", _MEDIA_LINK_SQL)
+def multimodal_link(spark, sf_dir):
+    """Media-reference linking (north rule): image spans from the
+    flagship sequence joined to the distinct-asset media dimension on
+    media_ref (AQE-sized join, no static broadcast)."""
+    from pdf_parser_spark.functions import multimodal as mm
+    from pdf_parser_spark.operators import pages as pages_op
+
+    docs = synthesize_spans(_t(spark, sf_dir, "documents"))
+    spans_out = pages_op.span_sequence_df(
+        pages_op.valid_spans(pages_op.explode_spans(docs))
+    )
+    media = mm.synthesize_media(spark, docs)
+    return mm.link_media(spans_out, media).select(
+        "doc_id", "media_ref", "page", "media_type", "width", "height"
+    )
+
+
 # ---------------------------------------------------------------------------
 # second coverage wave: X4, A5, A7, W4, X5, X17-X21
 # ---------------------------------------------------------------------------
