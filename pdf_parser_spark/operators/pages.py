@@ -1,12 +1,14 @@
 """Span explosion, quarantine, page derivation, and W2 reassembly.
 
-All native Column expressions — zero Python UDFs.  The only shuffles are:
-  1. the window over ``(doc_id, page)`` (order within page), and
-  2. the tiny per-(doc, page) count aggregate used to offset page-local
-     row numbers into a per-doc global ``order`` (two-phase reassembly).
-Partitioning by ``(doc_id, page)`` instead of ``doc_id`` alone is the
-mega-doc skew defense (SURVEY.md §4 P6): a 10M-span document spreads its
-pages across tasks instead of sorting in one.
+All native Column expressions — zero Python UDFs.  The reassembly path
+shuffles exactly ONCE, on ``doc_id``; every window (page derivation,
+per-page ids, final page-major ordering) chains over that one exchange
+with per-partition sorts (spill-backed).  Per-doc sequencing is
+inherently sequential — page numbers are a prefix sum over the doc — so
+a single doc-partitioned sort pipeline is the minimal plan; mega-doc
+skew is a straggler-task concern bounded by per-doc span counts, with
+ingest-time salting (operators/skew.py, cfg.mega_doc_span_threshold) as
+the mitigation for pathological documents.
 
 Reference semantics pinned (oracle: refsem.derive_pages/span_sequence):
 - page_manager.py:69-148 fixed assembly order TEXT→TABLES→IMAGES→LAYOUT→
@@ -139,9 +141,23 @@ def _annotation_summary() -> F.Column:
 def span_sequence_df(valid: DataFrame) -> DataFrame:
     """Flagship W2: per-doc ordered main-content sequence.
 
-    Two-phase global ordering: page-local ``row_number`` over
-    ``(doc_id, page)`` (skew-spread) + running doc-level page-count offset
-    computed on a tiny (doc, page, cnt) aggregate — no whole-doc sort.
+    ``order`` = ``row_number`` over one window per doc ordered by
+    ``(page, kind_rank, offset, seq)`` — the page-major assembly order
+    (page_manager.py:69-148).
+
+    Plan shape (asserted in tests/test_plans.py): ONE exchange on
+    ``doc_id``, reused by every window in the chain (page derivation,
+    per-page ids, final ordering) — no join, no second scan branch, no
+    broadcast, no range partitioning.  Earlier revisions used a
+    two-phase page-local ordering + per-page count-offset join; that
+    bought nothing structurally (page derivation in ``with_page`` is an
+    inherently sequential per-doc prefix sum, so the doc_id-partition
+    sort already exists) while doubling the scan lineage and adding a
+    corpus-cardinality join.  Mega-doc skew is bounded the same way for
+    every window here: one task sorts one doc's spans with spill
+    (UnsafeExternalSorter); the mitigation knob for pathological docs is
+    cfg.mega_doc_span_threshold salting at INGEST (operators/skew.py),
+    not a reassembly-time join.
     """
     spans = _with_ids(with_page(valid))
     content = spans.filter(F.col("kind") != "page_break")
@@ -158,42 +174,17 @@ def span_sequence_df(valid: DataFrame) -> DataFrame:
         "kind_rank", _kind_rank()
     )
 
-    # phase 1: local order within (doc, page)
-    w_page = Window.partitionBy("doc_id", "page").orderBy(
-        "kind_rank", "offset", "seq"
+    w_doc = Window.partitionBy("doc_id").orderBy(
+        "page", "kind_rank", "offset", "seq"
     )
-    kept = kept.withColumn("page_order", F.row_number().over(w_page))
-
-    # phase 2: running offset of per-page counts (tiny aggregate)
-    counts = kept.groupBy("doc_id", "page").agg(F.count("*").alias("cnt"))
-    w_doc = (
-        Window.partitionBy("doc_id")
-        .orderBy("page")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = counts.withColumn(
-        "page_offset", F.coalesce(F.sum("cnt").over(w_doc), F.lit(0))
-    ).select("doc_id", "page", "page_offset")
-
-    # Join back on (doc_id, page).  NO broadcast hint: ``offsets`` has one
-    # row per (doc, page) over the whole corpus — tiny per doc but
-    # corpus-sized globally, a guaranteed driver OOM at 10^12 docs.  Both
-    # sides are already hash-partitioned on (doc_id, page) (the window
-    # above / the groupBy), so the shuffle join reuses those exchanges;
-    # locally AQE still picks a broadcast at runtime when actually small.
-    return (
-        kept.join(offsets, ["doc_id", "page"])
-        .select(
-            "doc_id",
-            "seq",
-            "page",
-            "kind",
-            F.col("out_text").alias("text"),
-            "media_ref",
-            (F.col("page_offset") + F.col("page_order"))
-            .cast("int")
-            .alias("order"),
-        )
+    return kept.select(
+        "doc_id",
+        "seq",
+        "page",
+        "kind",
+        F.col("out_text").alias("text"),
+        "media_ref",
+        F.row_number().over(w_doc).cast("int").alias("order"),
     )
 
 

@@ -67,21 +67,21 @@ def test_toc_has_single_udf_stage(spark):
     assert plan.count("ArrowEvalPython") == 1
 
 
-def test_span_sequence_no_python_and_bounded_shuffles(spark, docs_df):
-    """Two-phase reassembly: window + count agg + join back on
-    (doc_id, page).  The plan must contain neither Python stages, nor a
-    global range sort (whole-doc exchange), nor a STATIC broadcast of the
-    corpus-cardinality offsets relation — at 10^12 docs that broadcast is
-    a driver OOM.  (AQE may still choose a broadcast at RUNTIME from
-    observed sizes; what we forbid is the compile-time hint.)"""
+def test_span_sequence_single_exchange_no_python(spark, docs_df):
+    """Reassembly is one doc_id exchange feeding a chain of window sorts:
+    no Python stages, no join (the old two-phase variant doubled the scan
+    lineage and joined a corpus-cardinality offsets relation), no global
+    range sort, no broadcast of anything corpus-sized."""
     from pdf_parser_spark.operators import pages as P
 
     out = P.span_sequence_df(P.valid_spans(P.explode_spans(docs_df)))
     plan = _plan(out)
     assert "Python" not in plan
-    # no global sort: every Exchange is hashpartitioning, never range
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 1
+    assert "hashpartitioning(doc_id" in plan
+    # no global sort: the Exchange is hash, never range
     assert "rangepartitioning" not in plan
-    # no planted hint in the logical plan (runtime AQE choices are fine)
     optimized = _optimized(out)
     assert "ResolvedHint" not in optimized
     assert ", broadcast" not in optimized
