@@ -1339,6 +1339,62 @@ def sim_ann_topk(spark, sf_dir):
     return sim.ann_topk(emb, qvec, k=10, n_bits=4, radius=1)
 
 
+_QUARANTINE_SQL = """
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         CAST(doc_id AS BIGINT) AS id_num,
+         greatest(CAST(ceil(length(string_split(text, ' ')) / 8.0)
+                       AS INT), 1) AS n_chunks
+  FROM documents)
+SELECT doc_id,
+       CAST(n_chunks + 1 AS INT) AS span_seq,
+       CASE WHEN id_num % 7 = 3 THEN 'bad_offset'
+            ELSE 'unknown_kind' END AS error_kind,
+       CASE WHEN id_num % 7 = 3 THEN 'offset=-1'
+            ELSE 'kind=blob' END AS error_detail,
+       CASE WHEN id_num % 7 = 3 THEN 'corrupt'
+            ELSE 'mystery' END AS raw
+FROM d
+WHERE id_num % 7 = 3 OR id_num % 11 = 5
+"""
+
+
+@q("pipeline_quarantine", _QUARANTINE_SQL)
+def pipeline_quarantine(spark, sf_dir):
+    """F14/S4 error path under driver verification: deterministically
+    corrupt one trailing span per selected doc (negative offset for
+    doc_id%7==3, unknown kind for doc_id%11==5) and check the structured
+    quarantine rows the guards emit."""
+    from pdf_parser_spark.operators import pages as pages_op
+
+    docs = synthesize_spans(_t(spark, sf_dir, "documents"))
+    id_num = F.col("doc_id").cast("bigint")
+    bad = F.when(
+        id_num % 7 == 3,
+        F.struct(
+            F.lit("text").alias("kind"),
+            F.lit("corrupt").alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(-1).cast("int").alias("offset"),
+        ),
+    ).when(
+        id_num % 11 == 5,
+        F.struct(
+            F.lit("blob").alias("kind"),
+            F.lit("mystery").alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.size("spans").cast("int").alias("offset"),
+        ),
+    )
+    corrupted = docs.select(
+        "doc_id",
+        F.when(bad.isNotNull(), F.concat("spans", F.array(bad)))
+        .otherwise(F.col("spans"))
+        .alias("spans"),
+    )
+    return pages_op.quarantine_df(pages_op.explode_spans(corrupted))
+
+
 def synthesize_html(docs: DataFrame) -> DataFrame:
     """Deterministically lift ``documents`` into HTML pages: 12-word
     paragraphs inside a content div, wrapped in link-dense chrome

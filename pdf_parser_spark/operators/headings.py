@@ -62,14 +62,14 @@ def _allcaps(clean: Column) -> Column:
 
 def _mixedcap(clean: Column) -> Column:
     """'Title Case Heading' → capitalized-word ratio
-    (heading_strategies.py:140-193)."""
-    words = F.split(py_strip(clean), r"\s+", -1)
-    nwords = F.size(words)
-    cap = F.size(
-        F.filter(
-            words, lambda w: F.substring(w, 1, 1).rlike("[A-Z0-9]")
-        )
-    )
+    (heading_strategies.py:140-193).
+
+    ``clean`` is already stripped, so a token starts capitalized iff a
+    ``[A-Z0-9]`` follows start-of-string or whitespace — one regexp_count
+    pass instead of split + per-token filter (hot-path cost matters: this
+    runs inside the per-line detection battery)."""
+    nwords = F.size(F.split(clean, r"\s+", -1))
+    cap = F.regexp_count(clean, F.lit(r"(^|\s)[A-Z0-9]"))
     # reference: cap < max(1, len(words) // 2) rejects — note the FLOOR
     return F.when(
         (nwords >= 2)
@@ -175,42 +175,46 @@ def detect_enhanced_heading_expr(
     c = F.coalesce(content, F.lit(""))
     lines = F.split(c, "\n", -1)
 
-    detected = F.filter(
-        F.transform(
-            F.slice(lines, 1, 10),
-            lambda l: detect_heading_expr(l, registry),
-        ),
-        lambda x: x.isNotNull(),
+    # Evaluation shape matters here — two earlier forms were slow:
+    # (a) transform(slice(lines,1,10), detect) evaluates the full
+    #     strategy battery on EVERY line of every row (no short-circuit;
+    #     measured 8x the pandas UDF it replaced);
+    # (b) coalesce(detect(line0), ..., detect(line9)) short-circuits but
+    #     inlines ten battery copies into one projection — the generated
+    #     method blows the JVM's 64 KB limit ("Code grows beyond 64 KB")
+    #     and the whole stage falls back to interpreted eval.
+    # The fold below keeps ONE battery instance in the tree (codegen-
+    # sized) and Coalesce.eval is lazy, so a page whose first line is a
+    # heading pays for exactly one battery.
+    detected = F.aggregate(
+        F.slice(lines, 1, 10),
+        F.lit(None).cast("string"),
+        lambda acc, l: F.coalesce(acc, detect_heading_expr(l, registry)),
     )
-    primary = F.get(detected, 0)
 
-    def _fallback_ok(l: Column) -> Column:
-        s = py_strip(l)
+    def _fallback(l: Column) -> Column:
+        s = py_strip(F.coalesce(l, F.lit("")))
         is_upper = (F.upper(s) == s) & (F.lower(s) != s)
         has_digit = F.substring(s, 1, 10).rlike("[0-9]")
         few_spaces = (
             F.length(s)
             - F.length(F.replace(s, F.lit(" "), F.lit("")))
         ) <= 8
-        return (
+        return F.when(
             (s != "")
             & (F.length(s) < 100)
-            & (is_upper | has_digit | few_spaces)
+            & (is_upper | has_digit | few_spaces),
+            s,
         )
 
-    fallback = F.get(
-        F.filter(
-            F.transform(
-                F.slice(lines, 1, 5),
-                lambda l: F.when(_fallback_ok(l), py_strip(l)),
-            ),
-            lambda x: x.isNotNull(),
-        ),
-        0,
+    fallback = F.aggregate(
+        F.slice(lines, 1, 5),
+        F.lit(None).cast("string"),
+        lambda acc, l: F.coalesce(acc, _fallback(l)),
     )
 
     return F.coalesce(
-        primary,
+        detected,
         fallback,
         F.format_string("Content from Page %d", page.cast("int")),
     )

@@ -196,6 +196,10 @@ def sections_df(
         & pages["page"].between(intervals["iv_start"], intervals["iv_end"]),
         "left_anti",
     ).filter(py_strip(F.coalesce("content", F.lit(""))) != "")
+    # full_path is derived AFTER the persist barrier below: referencing
+    # `title` twice in one projection makes CollapseProject inline the
+    # (regex-heavy) detection expression twice — post-cache it is a
+    # cheap concat over the materialized column
     page_sections = (
         uncovered.withColumn(
             "title",
@@ -209,9 +213,6 @@ def sections_df(
             "doc_title",
             F.concat(F.lit("Page-"), F.col("page")).alias("section_id"),
             "title",
-            F.concat(
-                F.lit("Page-"), F.col("page"), F.lit(" "), F.col("title")
-            ).alias("full_path"),
             "page",
             F.lit(1).alias("level"),
             F.lit(None).cast("string").alias("parent_id"),
@@ -227,6 +228,13 @@ def sections_df(
 
         page_sections = page_sections.persist(StorageLevel.MEMORY_AND_DISK)
         page_sections.count()
+
+    page_sections = page_sections.withColumn(
+        "full_path",
+        F.concat(
+            F.lit("Page-"), F.col("page"), F.lit(" "), F.col("title")
+        ),
+    )
 
     # ---- J5 + F7/F8: content-based sections on remaining pages ----------
     # toc-section pages == valid TOC entry pages, so read them from the
