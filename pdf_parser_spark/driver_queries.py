@@ -881,6 +881,39 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return dd.ngram_jaccard_pairs(docs, pairs, k=3)
 
 
+_SIMHASH_SQL = """
+WITH norm AS (
+  SELECT doc_id,
+         list_distinct(string_split(regexp_replace(lower(trim(text)),
+                                                   '\\s+', ' ', 'g'),
+                       ' ')) AS sh
+  FROM documents),
+h AS (
+  SELECT doc_id, length(sh) AS n,
+         list_transform(sh, s ->
+           list_sum(list_transform(generate_series(0, 7), j ->
+             (strpos('0123456789abcdef', substr(md5(s), j + 1, 1)) - 1)
+             * CAST(pow(16, 7 - j) AS BIGINT)))) AS hv
+  FROM norm)
+SELECT doc_id,
+       CAST(list_sum(list_transform(generate_series(0, 31), b ->
+         CASE WHEN 2 * list_sum(list_transform(hv, x ->
+                      CAST(floor(x / pow(2, b)) AS BIGINT) % 2)) > n
+              THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END))
+            AS BIGINT) AS simhash
+FROM h
+"""
+
+
+@q("dedup_simhash", _SIMHASH_SQL)
+def dedup_simhash(spark, sf_dir):
+    """32-bit SimHash fingerprints (1-word shingles) — the md5-sliced
+    hash is portable, so the bit-majority fold has an exact SQL twin."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", dd.simhash32(F.col("text"), k=1).alias("simhash")
+    )
+
+
 @q(
     "sim_cosine_topk",
     """WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE))
