@@ -2,9 +2,10 @@
 
 ``entry(spark)`` runs the flagship W2 span-sequence extraction on the
 sf0.001 slice; ``queries()``/``oracle_sql()`` expose the operator registry
-in ``pdf_parser_spark.driver_queries`` (SURVEY.md §2 operators + the
-training-data curation ops, each with a DuckDB oracle where
-SQL-expressible; pipeline-composite and ANN queries are rows-only).
+in ``pdf_parser_spark.driver_queries`` — 53 queries, 51 with DuckDB
+value-hash oracles (including the flagship itself); only the two
+UDF-bearing pipeline composites (sections, metrics) are rows-only,
+gated instead by the oracle-parity pytest + reference-golden replay.
 """
 
 from __future__ import annotations
