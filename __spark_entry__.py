@@ -2,10 +2,10 @@
 
 ``entry(spark)`` runs the flagship W2 span-sequence extraction on the
 sf0.001 slice; ``queries()``/``oracle_sql()`` expose the operator registry
-in ``pdf_parser_spark.driver_queries`` — 53 queries, 51 with DuckDB
-value-hash oracles (including the flagship itself); only the two
-UDF-bearing pipeline composites (sections, metrics) are rows-only,
-gated instead by the oracle-parity pytest + reference-golden replay.
+in ``pdf_parser_spark.driver_queries`` — 53 queries, every one with a
+DuckDB value-hash oracle (including the flagship and both pipeline
+composites); the TOC regex battery is additionally gated by the
+oracle-parity pytest + bit-for-bit reference-golden replay.
 """
 
 from __future__ import annotations

@@ -1185,8 +1185,7 @@ def pipeline_span_sequence(spark, sf_dir):
     return pages_op.span_sequence_df(pages_op.valid_spans(flat))
 
 
-_PAGES_SQL = f"""
-WITH {_SYNTH_SPANS_CTE},
+_PAGES_CTES = """
 content_spans AS (
   SELECT *,
          sum(CASE WHEN kind IN ('image', 'figure') THEN 1 ELSE 0 END)
@@ -1217,6 +1216,9 @@ skeleton AS (
   SELECT doc_id, total_pages,
          unnest(generate_series(1, total_pages)) AS page
   FROM totals)
+"""
+
+_PAGES_BODY = """
 SELECT s.doc_id, CAST(s.page AS INT) AS page, s.total_pages,
        coalesce(g.text, '') AS text,
        CAST(coalesce(g.n_images, 0) AS BIGINT) AS n_images,
@@ -1230,6 +1232,8 @@ SELECT s.doc_id, CAST(s.page AS INT) AS page, s.total_pages,
 FROM skeleton s
 LEFT JOIN grouped g ON g.doc_id = s.doc_id AND g.page = s.page
 """
+
+_PAGES_SQL = f"WITH {_SYNTH_SPANS_CTE}, {_PAGES_CTES} {_PAGES_BODY}"
 
 
 @q("pipeline_pages", _PAGES_SQL)
@@ -1248,12 +1252,55 @@ def pipeline_pages(spark, sf_dir):
     )
 
 
-@q("pipeline_sections", None)
+_SECTIONS_SQL = f"""
+WITH {_SYNTH_SPANS_CTE}, {_PAGES_CTES},
+pg AS ({_PAGES_BODY}),
+sec AS (
+  SELECT doc_id, page, content,
+         string_split(content, chr(10))[1] AS title
+  FROM pg
+  WHERE regexp_replace(content, '^\\s+|\\s+$', '', 'g') <> '')
+SELECT doc_id,
+       'Unknown' AS doc_title,
+       'Page-' || CAST(page AS VARCHAR) AS section_id,
+       title,
+       'Page-' || CAST(page AS VARCHAR) || ' ' || title AS full_path,
+       CAST(page AS INT) AS page,
+       CAST(1 AS INT) AS level,
+       CAST(NULL AS VARCHAR) AS parent_id,
+       content,
+       '["enhanced_extraction"'
+         || CASE WHEN content LIKE '%TABLES%' OR content LIKE '%|%'
+                 THEN ',"contains_tables"' ELSE '' END
+         || CASE WHEN content LIKE '%IMAGES%' OR content LIKE '%Image%'
+                 THEN ',"contains_images"' ELSE '' END
+         || CASE WHEN content LIKE '%ANNOTATIONS%'
+                 THEN ',"contains_annotations"' ELSE '' END
+         || CASE WHEN content LIKE '%LAYOUT TEXT%'
+                 THEN ',"has_layout_info"' ELSE '' END
+         || CASE WHEN length(content) > 5000 THEN ',"large_content"'
+                 WHEN length(content) > 1000 THEN ',"medium_content"'
+                 ELSE ',"small_content"' END
+         || ']' AS tags,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY page)
+            AS INT) AS "order"
+FROM sec
+"""
+
+
+@q("pipeline_sections", _SECTIONS_SQL)
 def pipeline_sections(spark, sf_dir):
     """Full 5-step pipeline → sections table.  The driver-facing view
     serializes ``tags`` to JSON (the driver canonicalizer hashes via
     pandas and can't factorize list cells); the pipeline itself keeps
-    the array-typed column."""
+    the array-typed column.
+
+    Oracle: on the synthesized corpus the TOC battery yields zero
+    entries (verified), so every section flows through the
+    uncovered-page path — title = the first content line (the marker
+    line fires the mixed-cap strategy), tags/doc-order re-derived in
+    SQL.  Any drift in TOC acceptance, heading detection, tag
+    generation, or ordering breaks the hash."""
     from pdf_parser_spark.pipeline import run_pipeline
 
     docs = synthesize_spans(_t(spark, sf_dir, "documents"))
@@ -1261,9 +1308,91 @@ def pipeline_sections(spark, sf_dir):
     return sections.withColumn("tags", F.to_json("tags"))
 
 
-@q("pipeline_metrics", None)
+_METRICS_SQL = f"""
+WITH {_SYNTH_SPANS_CTE}, {_PAGES_CTES},
+pg AS ({_PAGES_BODY}),
+sec AS (
+  SELECT doc_id, page, content FROM pg
+  WHERE regexp_replace(content, '^\\s+|\\s+$', '', 'g') <> ''),
+pagg AS (
+  SELECT doc_id,
+    CAST(max(total_pages) AS BIGINT) AS total_pages,
+    CAST(count(*) FILTER (WHERE regexp_replace(text, '^\\s+|\\s+$', '',
+         'g') <> '') AS BIGINT) AS pages_with_text,
+    CAST(count(*) FILTER (WHERE n_images > 0) AS BIGINT) AS pages_w_img,
+    CAST(count(*) FILTER (WHERE regexp_replace(text, '^\\s+|\\s+$', '',
+         'g') <> '' OR n_images > 0) AS BIGINT) AS pages_with_content,
+    CAST(sum(CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') <> ''
+             THEN length(text) ELSE 0 END) AS BIGINT)
+        AS total_content_length,
+    CAST(max(CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') <> ''
+             THEN 1 ELSE 0 END)
+       + max(CASE WHEN n_images > 0 THEN 1 ELSE 0 END) AS INT)
+        AS content_diversity_score
+  FROM pg GROUP BY doc_id),
+sagg AS (
+  SELECT doc_id,
+    CAST(count(*) AS BIGINT) AS sections_parsed,
+    CAST(count(*) FILTER (WHERE lower(content) LIKE '%table%'
+         OR content LIKE '%|%') AS BIGINT) AS sections_with_tables,
+    CAST(count(*) FILTER (WHERE lower(content) LIKE '%image%'
+         OR lower(content) LIKE '%figure%'
+         OR lower(content) LIKE '%diagram%') AS BIGINT)
+        AS sections_with_images,
+    CAST(sum(length(content)) AS BIGINT)
+        AS total_section_content_length,
+    CAST(count(DISTINCT page) AS BIGINT) AS section_pages_covered
+  FROM sec GROUP BY doc_id)
+SELECT p.doc_id,
+  'Valid' AS metadata_status,
+  CAST(0 AS BIGINT) AS total_toc_entries,
+  s.sections_parsed,
+  p.pages_with_text,
+  CAST(0 AS BIGINT) AS toc_covered_pages,
+  round(CAST(p.pages_with_text AS DOUBLE) / p.total_pages * 100, 2)
+      AS page_coverage_pct,
+  round(CAST(p.pages_with_text AS DOUBLE) / p.total_pages * 100, 2)
+      AS text_coverage,
+  CAST(0.0 AS DOUBLE) AS table_coverage,
+  round(CAST(p.pages_w_img AS DOUBLE) / p.total_pages * 100, 2)
+      AS image_coverage,
+  CAST(0.0 AS DOUBLE) AS annotation_coverage,
+  CAST(0.0 AS DOUBLE) AS layout_coverage,
+  round(CAST(p.pages_with_text AS DOUBLE) / p.total_pages * 100, 2) * 0.4
+    + 0.0 * 0.2
+    + round(CAST(p.pages_w_img AS DOUBLE) / p.total_pages * 100, 2) * 0.2
+    + 0.0 * 0.1 + 0.0 * 0.1 AS overall_coverage,
+  p.total_pages,
+  p.pages_with_content,
+  CASE WHEN p.pages_with_content > 0
+       THEN CAST(p.total_content_length AS DOUBLE)
+            / p.pages_with_content
+       ELSE 0.0 END AS average_content_length,
+  p.content_diversity_score,
+  round(CAST(p.pages_with_content AS DOUBLE) / p.total_pages * 100, 2)
+      AS extraction_completeness,
+  s.sections_parsed AS toc_sections,
+  CAST(0 AS BIGINT) AS non_toc_sections,
+  s.sections_with_tables,
+  s.sections_with_images,
+  s.total_section_content_length,
+  s.section_pages_covered
+FROM pagg p JOIN sagg s ON s.doc_id = p.doc_id
+"""
+
+
+@q("pipeline_metrics", _METRICS_SQL)
 def pipeline_metrics(spark, sf_dir):
-    """Full 5-step pipeline → per-doc validation metrics."""
+    """Full 5-step pipeline → per-doc validation metrics.
+
+    Oracle: zero TOC entries on the synthesized corpus (verified), so
+    every aggregate reduces to page/section arithmetic the CTE chain
+    recomputes from the source words: page-ID sections count as
+    'toc_sections' (non-empty section_id), metadata_status is constant
+    'Valid' ('Unknown' fallbacks are truthy), and coverage percentages
+    replay safe_percentage's (n/d)*100 evaluation order.  Ties at the
+    2-decimal rounding boundary cannot occur for page counts <= 5, so
+    DuckDB round == Spark bround here."""
     from pdf_parser_spark.pipeline import run_pipeline
 
     docs = synthesize_spans(_t(spark, sf_dir, "documents"))
