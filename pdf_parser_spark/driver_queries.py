@@ -1880,6 +1880,101 @@ def x17_x21_heading_shapes(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# round-3 wave: SimHash pair search, bucketed ANN, corpus rollup, real
+# PNG decode
+# ---------------------------------------------------------------------------
+
+
+_SIMHASH_PAIRS_SQL = """
+WITH corpus AS (
+  SELECT 'o' || CAST(doc_id AS VARCHAR) AS id, text FROM documents
+  UNION ALL
+  SELECT 'v' || CAST(doc_id AS VARCHAR) AS id,
+         text || ' zznearduplicate' AS text
+  FROM documents WHERE CAST(doc_id AS BIGINT) % 5 = 0),
+norm AS (
+  SELECT id,
+         list_distinct(string_split(regexp_replace(lower(trim(text)),
+                                                   '\\s+', ' ', 'g'),
+                       ' ')) AS sh
+  FROM corpus),
+h AS (
+  SELECT id, length(sh) AS n,
+         list_transform(sh, s ->
+           list_sum(list_transform(generate_series(0, 7), j ->
+             (strpos('0123456789abcdef', substr(md5(s), j + 1, 1)) - 1)
+             * CAST(pow(16, 7 - j) AS BIGINT)))) AS hv
+  FROM norm),
+fps AS (
+  SELECT id,
+         CAST(list_sum(list_transform(generate_series(0, 31), b ->
+           CASE WHEN 2 * list_sum(list_transform(hv, x ->
+                        CAST(floor(x / pow(2, b)) AS BIGINT) % 2)) > n
+                THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END))
+              AS BIGINT) AS fp
+  FROM h)
+SELECT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+FROM fps a JOIN fps b ON a.id < b.id
+WHERE bit_count(xor(a.fp, b.fp)) <= 3
+"""
+
+
+@q("dedup_simhash_pairs", _SIMHASH_PAIRS_SQL)
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash Hamming-bucket near-dup pairs (functions/dedup.py
+    simhash_candidate_pairs) over a corpus with planted near-dups (every
+    5th doc gets a one-word-appended variant).
+
+    The oracle is the BRUTE-FORCE ground truth — all pairs within
+    Hamming<=3 of the portable md5-derived fingerprints — so a green
+    hash proves the pigeonhole bit-block bucket join is a COMPLETE
+    candidate generator within the radius, not just self-consistent."""
+    docs = _t(spark, sf_dir, "documents")
+    orig = docs.select(
+        F.concat(F.lit("o"), F.col("doc_id").cast("string")).alias(
+            "doc_id"
+        ),
+        "text",
+    )
+    variants = docs.filter(F.col("doc_id").cast("bigint") % 5 == 0).select(
+        F.concat(F.lit("v"), F.col("doc_id").cast("string")).alias(
+            "doc_id"
+        ),
+        F.concat(F.col("text"), F.lit(" zznearduplicate")).alias("text"),
+    )
+    corpus = orig.unionByName(variants)
+    return dd.simhash_candidate_pairs(corpus, k=1, max_hamming=3).select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
+@q("sim_ann_bucketed", _ANN_SQL)
+def sim_ann_bucketed(spark, sf_dir):
+    """ANN top-k through the PHYSICAL bucket-partitioned layout
+    (similarity.write_bucketed / ann_topk_bucketed): identical result to
+    sim_ann_topk — same oracle — but the probe IN-list prunes the scan
+    to 5/16 partition directories (plan-asserted in tests/test_plans.py).
+    The write is the one-time layout materialization; re-running it per
+    driver invocation just exercises writer + pruned reader together."""
+    import re as _re
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    qvec = emb.filter(F.col("vec_id") == 0).head()["embedding"]
+    tag = _re.sub(r"[^A-Za-z0-9]", "_", sf_dir)
+    path = f"/tmp/pdf_parser_spark_ann_bucketed{tag}"
+    sim.write_bucketed(emb, path, dim=len(qvec), n_bits=4)
+    return sim.ann_topk_bucketed(
+        spark, path, qvec, k=10, n_bits=4, radius=1
+    )
+
+
 @q(
     "u2_sequence_explode",
     """SELECT n_pages, count(*) AS n_orders FROM (
@@ -1909,3 +2004,460 @@ def u2_sequence_explode(spark, sf_dir):
         .groupBy("n_pages")
         .agg(F.count("*").alias("n_orders"))
     )
+
+
+_CORPUS_METRICS_SQL = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (WHERE metadata_status = 'Valid') AS BIGINT)
+           AS docs_metadata_valid,
+       CAST(sum(total_toc_entries) AS BIGINT) AS total_toc_entries,
+       CAST(sum(sections_parsed) AS BIGINT) AS sections_parsed,
+       CAST(sum(pages_with_text) AS BIGINT) AS pages_with_text,
+       CAST(sum(total_pages) AS BIGINT) AS total_pages,
+       CAST(sum(toc_covered_pages) AS BIGINT) AS toc_covered_pages,
+       CAST(sum(pages_with_content) AS BIGINT) AS pages_with_content,
+       CAST(sum(toc_sections) AS BIGINT) AS toc_sections,
+       CAST(sum(non_toc_sections) AS BIGINT) AS non_toc_sections,
+       CAST(sum(sections_with_tables) AS BIGINT) AS sections_with_tables,
+       CAST(sum(sections_with_images) AS BIGINT) AS sections_with_images,
+       CAST(sum(total_section_content_length) AS BIGINT)
+           AS total_section_content_length,
+       round(CAST(sum(pages_with_text) AS DOUBLE)
+             / sum(total_pages) * 100, 2) AS page_coverage_pct,
+       round(CAST(sum(pages_with_content) AS DOUBLE)
+             / sum(total_pages) * 100, 2) AS extraction_completeness
+FROM ({_METRICS_SQL}) m
+"""
+
+
+@q("corpus_metrics", _CORPUS_METRICS_SQL)
+def corpus_metrics(spark, sf_dir):
+    """Corpus-level rollup (metrics.corpus_metrics_df): the reference's
+    single-report shape (validation_report.py:109-126) over the whole
+    corpus — integer sums of the per-doc metrics plus corpus-granularity
+    safe_percentage.  Rounding ties at the 2-decimal boundary between
+    Spark bround and DuckDB round would need sum(pages_with_text) /
+    sum(total_pages) to land exactly on a half-ulp — not reachable for
+    these integer ranges (same argument as pipeline_metrics)."""
+    from pdf_parser_spark.operators import metrics as metrics_op
+    from pdf_parser_spark.pipeline import run_pipeline
+
+    docs = synthesize_spans(_t(spark, sf_dir, "documents"))
+    metrics = run_pipeline(docs, cache=True).metrics
+    return metrics_op.corpus_metrics_df(metrics)
+
+
+_PNG_DECODE_SQL = """
+WITH refs AS (
+  SELECT DISTINCT 'img-' || CAST(doc_id AS VARCHAR) AS media_ref
+  FROM documents),
+h AS (SELECT media_ref, md5(media_ref) AS hx FROM refs)
+SELECT media_ref,
+       'image' AS media_type,
+       CAST(33 AS BIGINT) AS n_bytes,
+       CAST(16 * (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1)
+            + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1)
+            + 16 AS INT) AS width,
+       CAST(16 * (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1)
+            + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1)
+            + 16 AS INT) AS height,
+       'ok' AS decode_status
+FROM h
+"""
+
+
+@q("multimodal_decode_png", _PNG_DECODE_SQL)
+def multimodal_decode_png(spark, sf_dir):
+    """REAL media decode under driver verification: native-expression
+    PNG payloads (signature + IHDR assembled via hex/unhex) flow through
+    the fake=False mapInPandas decoder, and the oracle recomputes the
+    IHDR dimensions arithmetically from the md5-derived fixture values —
+    a green hash proves the binary plumbing AND the stdlib header
+    decode, not a digest identity."""
+    from pdf_parser_spark.functions import multimodal as mm
+
+    docs = synthesize_spans(_t(spark, sf_dir, "documents"))
+    media = mm.synthesize_png_media(docs)
+    feats = mm.decode_features(media, fake=False)
+    return feats.select(
+        "media_ref", "media_type", "n_bytes", "width", "height",
+        "decode_status",
+    )
+
+
+# ---------------------------------------------------------------------------
+# TOC-BEARING composite corpus: the full X1 battery → quality gates →
+# W3 dedup → W1/J2 range-join path under driver verification (r2 gap:
+# the zero-TOC corpus never exercised the composed TOC path end-to-end)
+# ---------------------------------------------------------------------------
+
+_TOC_TITLE_A = [
+    "Power Delivery",
+    "Connector Interface",
+    "Cable Assembly",
+    "Message Protocol",
+    "Device Policy",
+]
+_TOC_TITLE_B = ["Overview", "Requirements", "Operation", "Management"]
+
+
+def synthesize_toc_spans(docs: DataFrame) -> DataFrame:
+    """Deterministically lift ``documents`` into a TOC-BEARING spans
+    corpus: page 1 is a TOC block whose lines match primary battery
+    pattern 0 (``sid title ..... page``), followed by one content page
+    per entry.
+
+    Per doc (i = doc_id): k = 3 + i%3 entries; entry j has
+    sid = j+1 (even j) or ``j.(1+i%4)`` (odd j → two-level hierarchy for
+    X7/X8), title from two fixed word lists, page = 2+j.  The block also
+    carries one TECHNICAL line ('9 hex data values ..... 7' — matches
+    the battery but must be rejected by F4/F5 in ALL three passes) and,
+    for even docs, an exact duplicate of entry 0's line (must be removed
+    by the W3 first-wins dedup).  Filler pages are digit-free
+    letter-translated md5 text, so no filler line can match any battery
+    pattern or the X13 probe, and no metadata regex fires ('Unknown'
+    everywhere — verified against metadata_parser patterns)."""
+    i = F.col("doc_id").cast("bigint")
+    did = F.col("doc_id").cast("string")
+    k = (F.lit(3) + (i % 3)).cast("int")
+    arr_a = F.array(*[F.lit(x) for x in _TOC_TITLE_A])
+    arr_b = F.array(*[F.lit(x) for x in _TOC_TITLE_B])
+
+    def title(j):
+        return F.concat(
+            F.element_at(arr_a, ((i + j) % 5).cast("int") + 1),
+            F.lit(" "),
+            F.element_at(arr_b, ((i + 2 * j) % 4).cast("int") + 1),
+        )
+
+    def sid(j):
+        return F.when(j % 2 == 0, (j + 1).cast("string")).otherwise(
+            F.concat(
+                j.cast("string"),
+                F.lit("."),
+                (F.lit(1) + i % 4).cast("string"),
+            )
+        )
+
+    def line(j):
+        return F.concat(
+            sid(j),
+            F.lit(" "),
+            title(j),
+            F.lit(" ..... "),
+            (j + 2).cast("string"),
+        )
+
+    js = F.sequence(F.lit(0), k - 1)
+    toc_block = F.concat(
+        F.array_join(F.transform(js, line), "\n"),
+        F.lit("\n9 hex data values ..... 7"),
+        F.when(
+            i % 2 == 0, F.concat(F.lit("\n"), line(F.lit(0)))
+        ).otherwise(F.lit("")),
+    )
+
+    def filler(j):
+        return F.concat(
+            F.lit("body "),
+            F.translate(
+                F.md5(F.concat(did, F.lit(":"), j.cast("string"))),
+                "0123456789",
+                "ghijklmnop",
+            ),
+        )
+
+    def span(kind, text, off):
+        return F.struct(
+            kind.alias("kind"),
+            text.alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            off.cast("int").alias("offset"),
+        )
+
+    toc_span = span(F.lit("text"), toc_block, F.lit(0))
+    rest = F.flatten(
+        F.transform(
+            js,
+            lambda j: F.array(
+                span(
+                    F.lit("page_break"),
+                    F.lit(None).cast("string"),
+                    2 * j + 1,
+                ),
+                span(F.lit("text"), filler(j), 2 * j + 2),
+            ),
+        )
+    )
+    return docs.select(
+        did.alias("doc_id"),
+        F.concat(F.array(toc_span), rest).alias("spans"),
+    )
+
+
+# DuckDB twin of synthesize_toc_spans + the expected extraction results.
+_TOC_CORPUS_CTE = """
+tbase AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         CAST(doc_id AS BIGINT) AS i,
+         CAST(3 + CAST(doc_id AS BIGINT) % 3 AS INT) AS k
+  FROM documents),
+tentries AS (
+  SELECT doc_id, i, k, CAST(j AS INT) AS j,
+         CASE WHEN j % 2 = 0 THEN CAST(j + 1 AS VARCHAR)
+              ELSE CAST(j AS VARCHAR) || '.'
+                   || CAST(1 + i % 4 AS VARCHAR) END AS sid,
+         (list_value('Power Delivery','Connector Interface',
+                     'Cable Assembly','Message Protocol',
+                     'Device Policy'))[CAST((i + j) % 5 AS INT) + 1]
+           || ' ' ||
+         (list_value('Overview','Requirements','Operation',
+                     'Management'))[CAST((i + 2 * j) % 4 AS INT) + 1]
+           AS title,
+         CAST(2 + j AS INT) AS page
+  FROM tbase, unnest(generate_series(0, k - 1)) AS t(j)),
+tlines AS (
+  SELECT *, sid || ' ' || title || ' ..... ' || CAST(page AS VARCHAR)
+            AS line
+  FROM tentries),
+ttocblock AS (
+  SELECT l.doc_id, any_value(l.i) AS i, any_value(l.k) AS k,
+         string_agg(l.line, chr(10) ORDER BY l.j)
+         || chr(10) || '9 hex data values ..... 7'
+         || CASE WHEN any_value(l.i) % 2 = 0
+                 THEN chr(10) || min(CASE WHEN l.j = 0 THEN l.line END)
+                 ELSE '' END AS toc_block
+  FROM tlines l GROUP BY l.doc_id),
+tfiller AS (
+  SELECT doc_id, j, page,
+         'body ' || translate(md5(doc_id || ':' || CAST(j AS VARCHAR)),
+                              '0123456789', 'ghijklmnop') AS filler
+  FROM tentries)
+"""
+
+# TAG_RULES (toc_parser.py:352-379) replayed as a JSON-array builder.
+_TOC_TAGS_JSON = """
+'[' || coalesce(array_to_string(list_filter(list_value(
+    CASE WHEN regexp_matches(lower(title),
+         'introduction|overview|summary') THEN '"introductory"' END,
+    CASE WHEN regexp_matches(lower(title),
+         'conclusion|summary|results') THEN '"concluding"' END,
+    CASE WHEN regexp_matches(lower(title),
+         'appendix|annex|supplement') THEN '"supplementary"' END,
+    CASE WHEN regexp_matches(lower(title),
+         'reference|bibliography|citation') THEN '"reference"' END,
+    CASE WHEN regexp_matches(lower(title),
+         'table|figure|diagram|chart') THEN '"visual_content"' END,
+    CASE WHEN regexp_matches(lower(title),
+         'specification|requirement|standard') THEN '"specification"' END
+  ), x -> x IS NOT NULL), ','), '') || ']'
+"""
+
+_TOC_LEVEL_PARENT = """
+CAST(length(string_split(sid, '.')) AS INT) AS level,
+CASE WHEN sid LIKE '%.%'
+     THEN array_to_string((string_split(sid, '.'))[
+              1:length(string_split(sid, '.')) - 1], '.')
+END AS parent_id
+"""
+
+_PIPELINE_TOC_SQL = f"""
+WITH {_TOC_CORPUS_CTE}
+SELECT doc_id,
+       'Unknown' AS doc_title,
+       sid AS section_id,
+       title,
+       page,
+       {_TOC_LEVEL_PARENT},
+       line AS full_path,
+       {_TOC_TAGS_JSON} AS tags,
+       CAST(j + 1 AS INT) AS entry_order
+FROM tlines
+"""
+
+
+@q("pipeline_toc", _PIPELINE_TOC_SQL)
+def pipeline_toc(spark, sf_dir):
+    """Composed TOC extraction under a driver oracle: the full pipeline
+    on the TOC-bearing corpus must reproduce exactly the k accepted
+    entries per doc — which means the X1 primary battery matched each
+    line, F4/F5 rejected the planted technical line in all three passes,
+    the J4 anti-joins killed the enhanced duplicates, W3 removed the
+    planted duplicate line, and X7/X8/X9 derived level/parent/tags —
+    all composed, hash-compared row by row."""
+    from pdf_parser_spark.pipeline import run_pipeline
+
+    docs = synthesize_toc_spans(_t(spark, sf_dir, "documents"))
+    toc = run_pipeline(docs, cache=True).toc
+    return toc.select(
+        "doc_id",
+        "doc_title",
+        "section_id",
+        "title",
+        "page",
+        "level",
+        "parent_id",
+        "full_path",
+        F.to_json("tags").alias("tags"),
+        "entry_order",
+    )
+
+
+_PAGE_SECTION_TAGS_JSON = """
+'["enhanced_extraction"'
+  || CASE WHEN content LIKE '%TABLES%' OR content LIKE '%|%'
+          THEN ',"contains_tables"' ELSE '' END
+  || CASE WHEN content LIKE '%IMAGES%' OR content LIKE '%Image%'
+          THEN ',"contains_images"' ELSE '' END
+  || CASE WHEN content LIKE '%ANNOTATIONS%'
+          THEN ',"contains_annotations"' ELSE '' END
+  || CASE WHEN content LIKE '%LAYOUT TEXT%'
+          THEN ',"has_layout_info"' ELSE '' END
+  || CASE WHEN length(content) > 5000 THEN ',"large_content"'
+          WHEN length(content) > 1000 THEN ',"medium_content"'
+          ELSE ',"small_content"' END
+  || ']'
+"""
+
+_TOC_SECTIONS_SQL = f"""
+WITH {_TOC_CORPUS_CTE},
+tsec_toc AS (
+  SELECT l.doc_id,
+         'Unknown' AS doc_title,
+         l.sid AS section_id,
+         l.title,
+         l.sid || ' ' || l.title AS full_path,
+         l.page,
+         CAST(length(string_split(l.sid, '.')) AS INT) AS level,
+         CASE WHEN l.sid LIKE '%.%'
+              THEN array_to_string((string_split(l.sid, '.'))[
+                       1:length(string_split(l.sid, '.')) - 1], '.')
+         END AS parent_id,
+         '=== TEXT CONTENT ===' || chr(10) || f.filler AS content,
+         l.title AS title_for_tags
+  FROM tlines l JOIN tfiller f
+    ON f.doc_id = l.doc_id AND f.j = l.j),
+tsec_page1 AS (
+  SELECT t.doc_id,
+         'Unknown' AS doc_title,
+         'Page-1' AS section_id,
+         '=== TEXT CONTENT ===' AS title,
+         'Page-1 === TEXT CONTENT ===' AS full_path,
+         CAST(1 AS INT) AS page,
+         CAST(1 AS INT) AS level,
+         CAST(NULL AS VARCHAR) AS parent_id,
+         '=== TEXT CONTENT ===' || chr(10) || t.toc_block AS content
+  FROM ttocblock t),
+tunion AS (
+  SELECT doc_id, doc_title, section_id,
+         title_for_tags AS title, full_path, page, level, parent_id,
+         content,
+         {_TOC_TAGS_JSON.replace("lower(title)", "lower(title_for_tags)")}
+             AS tags
+  FROM tsec_toc
+  UNION ALL
+  SELECT doc_id, doc_title, section_id, title, full_path, page, level,
+         parent_id, content,
+         {_PAGE_SECTION_TAGS_JSON} AS tags
+  FROM tsec_page1)
+SELECT doc_id, doc_title, section_id, title, full_path, page, level,
+       parent_id, content, tags,
+       CAST(row_number() OVER (PARTITION BY doc_id
+                ORDER BY page, section_id) AS INT) AS "order"
+FROM tunion
+"""
+
+
+@q("pipeline_toc_sections", _TOC_SECTIONS_SQL)
+def pipeline_toc_sections(spark, sf_dir):
+    """Composed section assembly on the TOC-bearing corpus: the W1
+    lead() boundaries + J2 range join must hand each entry exactly its
+    own content page, the J3 anti-join must surface the (uncovered) TOC
+    page itself as a Page-1 section titled by the heading detector, and
+    W5 must order them page-major — the reference's primary artifact
+    (main.py:136-170) composed end-to-end, hash-verified."""
+    from pdf_parser_spark.pipeline import run_pipeline
+
+    docs = synthesize_toc_spans(_t(spark, sf_dir, "documents"))
+    sections = run_pipeline(docs, cache=True).sections
+    return sections.withColumn("tags", F.to_json("tags"))
+
+
+_TOC_METRICS_SQL = f"""
+WITH {_TOC_CORPUS_CTE},
+tpages AS (
+  SELECT doc_id, 1 AS page, toc_block AS text FROM ttocblock
+  UNION ALL
+  SELECT doc_id, page, filler AS text FROM tfiller),
+tpagg AS (
+  SELECT p.doc_id,
+         CAST(count(*) AS BIGINT) AS total_pages,
+         CAST(count(*) FILTER (WHERE trim(text) <> '') AS BIGINT)
+             AS pages_with_text,
+         CAST(sum(length(text)) AS BIGINT) AS total_content_length
+  FROM tpages p GROUP BY p.doc_id),
+tcontent AS (
+  SELECT l.doc_id,
+         '=== TEXT CONTENT ===' || chr(10) || f.filler AS content,
+         l.page
+  FROM tlines l JOIN tfiller f
+    ON f.doc_id = l.doc_id AND f.j = l.j
+  UNION ALL
+  SELECT doc_id, '=== TEXT CONTENT ===' || chr(10) || toc_block, 1
+  FROM ttocblock),
+tsagg AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS sections_parsed,
+         CAST(count(*) FILTER (WHERE lower(content) LIKE '%table%'
+              OR content LIKE '%|%') AS BIGINT) AS sections_with_tables,
+         CAST(count(*) FILTER (WHERE lower(content) LIKE '%image%'
+              OR lower(content) LIKE '%figure%'
+              OR lower(content) LIKE '%diagram%') AS BIGINT)
+             AS sections_with_images,
+         CAST(sum(length(content)) AS BIGINT)
+             AS total_section_content_length,
+         CAST(count(DISTINCT page) AS BIGINT) AS section_pages_covered
+  FROM tcontent GROUP BY doc_id)
+SELECT b.doc_id,
+  'Valid' AS metadata_status,
+  CAST(b.k AS BIGINT) AS total_toc_entries,
+  s.sections_parsed,
+  p.pages_with_text,
+  CAST(b.k AS BIGINT) AS toc_covered_pages,
+  CAST(100.0 AS DOUBLE) AS page_coverage_pct,
+  CAST(100.0 AS DOUBLE) AS text_coverage,
+  CAST(0.0 AS DOUBLE) AS table_coverage,
+  CAST(0.0 AS DOUBLE) AS image_coverage,
+  CAST(0.0 AS DOUBLE) AS annotation_coverage,
+  CAST(0.0 AS DOUBLE) AS layout_coverage,
+  CAST(40.0 AS DOUBLE) AS overall_coverage,
+  p.total_pages,
+  p.pages_with_text AS pages_with_content,
+  CAST(p.total_content_length AS DOUBLE) / p.pages_with_text
+      AS average_content_length,
+  CAST(1 AS INT) AS content_diversity_score,
+  CAST(100.0 AS DOUBLE) AS extraction_completeness,
+  s.sections_parsed AS toc_sections,
+  CAST(0 AS BIGINT) AS non_toc_sections,
+  s.sections_with_tables,
+  s.sections_with_images,
+  s.total_section_content_length,
+  s.section_pages_covered
+FROM tbase b
+JOIN tpagg p ON p.doc_id = b.doc_id
+JOIN tsagg s ON s.doc_id = b.doc_id
+"""
+
+
+@q("pipeline_toc_metrics", _TOC_METRICS_SQL)
+def pipeline_toc_metrics(spark, sf_dir):
+    """Composed per-doc metrics on the TOC-bearing corpus: nonzero
+    total_toc_entries / toc_covered_pages (the interval sweep over W1
+    ranges), sections split across the TOC and uncovered-page paths.
+    Every page has text, so the coverage percentages are exactly 100/40
+    — no rounding-boundary exposure; the content lengths are
+    reconstructed string lengths, not assumed constants."""
+    from pdf_parser_spark.pipeline import run_pipeline
+
+    docs = synthesize_toc_spans(_t(spark, sf_dir, "documents"))
+    return run_pipeline(docs, cache=True).metrics

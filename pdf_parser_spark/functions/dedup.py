@@ -21,8 +21,32 @@ pair join never materializes the full O(n²) space — only same-bucket pairs.
 
 from __future__ import annotations
 
+from typing import Callable, Optional
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+Materializer = Callable[[DataFrame], DataFrame]
+
+
+def _materialize(df: DataFrame) -> DataFrame:
+    """Default stage-table stand-in: eager ``localCheckpoint``.
+
+    Truncates the lineage so downstream self-joins don't re-run the md5
+    fold per branch (CollapseProject re-inlining), and its blocks are
+    released by the ContextCleaner when the DataFrame is dropped —
+    ``persist()`` here leaked one MEMORY_AND_DISK entry per invocation
+    for the session lifetime (nobody could unpersist it).
+
+    Fault-tolerance trade-off (ADVICE r2): localCheckpoint stores
+    executor-LOCAL blocks, so losing an executor fails the job instead
+    of recomputing.  Fine for interactive/driver-contract runs; a
+    long-lived production job at 10^12 docs should pass its own
+    ``materializer`` — e.g. ``lambda df: df.checkpoint(eager=True)``
+    with a reliable checkpoint dir, or a write-then-read of the
+    signatures stage table (the Iceberg stage-boundary pattern) — so
+    recovery replays from durable storage."""
+    return df.localCheckpoint(eager=True)
 
 
 def normalized_text(text: Column) -> Column:
@@ -123,23 +147,25 @@ def lsh_candidate_pairs(
     n_hashes: int = 4,
     k: int = 3,
     n_bands: int = 2,
+    materializer: Optional[Materializer] = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs (id_a < id_b) sharing >=1 LSH band.
 
     Scale path: explode bands → shuffle on (band_idx, band_key) only —
     never an all-pairs comparison.
+
+    ``materializer`` controls how the signatures stage is pinned before
+    the self-join fan-out (default: executor-local checkpoint — see
+    ``_materialize`` for the fault-tolerance trade-off and the
+    production alternative).
     """
     rows = n_hashes // n_bands
     # materialize signatures BEFORE banding and self-joining: downstream
     # references would otherwise inline (CollapseProject) and re-run the
     # md5 fold once per band and once per join side — in production this
-    # is the signatures stage table.  localCheckpoint (not persist):
-    # truncates the lineage with the same effect, but its blocks are
-    # released by the ContextCleaner when the DataFrame is dropped —
-    # persist() here leaked one MEMORY_AND_DISK cache entry per
-    # invocation for the session lifetime (nobody could unpersist it).
-    sigs = minhash_df(df, id_col, text_col, n_hashes, k).localCheckpoint(
-        eager=True
+    # is the signatures stage table.
+    sigs = (materializer or _materialize)(
+        minhash_df(df, id_col, text_col, n_hashes, k)
     )
     banded = sigs.select(
         "id",
@@ -242,4 +268,78 @@ def simhash32(text: Column, k: int = 1) -> Column:
     )
     return F.aggregate(
         bit_vals, F.lit(0).cast("long"), lambda acc, v: acc + v
+    )
+
+
+def simhash_block_values(
+    fp: Column, max_hamming: int = 3, n_bits: int = 32
+) -> Column:
+    """array<long> of the fingerprint's bit-block values for the
+    pigeonhole candidate search: the ``n_bits`` bits split into
+    ``max_hamming + 1`` contiguous blocks (remainder bits spread over the
+    leading blocks).  Two fingerprints within Hamming distance
+    ``max_hamming`` differ in at most ``max_hamming`` blocks, so they
+    agree EXACTLY on at least one block — an equal-block bucket join is
+    a complete candidate generator within the radius."""
+    n_blocks = max_hamming + 1
+    base, rem = divmod(n_bits, n_blocks)
+    blocks, lo = [], 0
+    for i in range(n_blocks):
+        w = base + (1 if i < rem else 0)
+        blocks.append(
+            F.shiftright(fp, lo).bitwiseAND(F.lit((1 << w) - 1))
+        )
+        lo += w
+    return F.array(*blocks)
+
+
+def simhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 1,
+    max_hamming: int = 3,
+    materializer: Optional[Materializer] = None,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, hamming) within the Hamming
+    radius, via the standard bit-block trick — the SimHash analog of
+    ``lsh_candidate_pairs`` (reference analog: the TOC dedup pass,
+    toc_parser.py:661-691, lifted to corpus-level near-dup search).
+
+    Scale path: fingerprints shuffle once on (block_idx, block_val) —
+    2^8-ish bucket keys per block at the default split, so boilerplate-
+    heavy corpora skew into hot buckets; the exact ``bit_count`` filter
+    after the bucket join is a cheap integer op per candidate.  Never an
+    all-pairs comparison.  ``materializer`` as in
+    ``lsh_candidate_pairs``."""
+    fps = df.select(
+        F.col(id_col).alias("id"),
+        simhash32(F.col(text_col), k).alias("fp"),
+    )
+    fps = (materializer or _materialize)(fps)
+    banded = fps.select(
+        "id",
+        "fp",
+        F.posexplode(
+            simhash_block_values(F.col("fp"), max_hamming)
+        ).alias("block_idx", "block_val"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.block_idx") == F.col("r.block_idx"))
+            & (F.col("l.block_val") == F.col("r.block_val"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.bit_count(
+                F.col("l.fp").bitwiseXOR(F.col("r.fp"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )

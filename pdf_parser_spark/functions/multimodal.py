@@ -1,11 +1,18 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata, processed by Arrow-batched ``mapInPandas``.
 
-The decode step is STUBBED (no image/audio libs in this container): by
-default it raises ``NotImplementedError`` naming the real implementation
-point; with ``fake=True`` it produces a deterministic fake feature vector
-so the Spark-side plumbing — schema, batch shape, partition behavior — is
-real and testable end-to-end.
+Two decode paths through the SAME dataflow:
+
+- **real** (default): stdlib decoders for the formats this container can
+  parse — PNG header decode (width/height from the IHDR chunk via
+  ``struct``) and WAV decode (sample rate / frame count → duration via
+  ``wave``).  Payloads in any other format yield a structured
+  ``decode_status='unsupported_format'`` row (the quarantine-column
+  philosophy — never a task failure).  Heavier codecs (JPEG, video,
+  resampling) plug into the same branch with PIL/ffmpeg when available.
+- **fake=True**: deterministic digest-derived feature vector, for
+  plumbing tests that need a stable ``feature`` column without any
+  format assumptions.
 
 The media span model follows the reference's image records
 (extractor.py:260-291: name/bbox/width/height identity) lifted to binary
@@ -15,6 +22,9 @@ payloads keyed by ``media_ref``.
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
 from collections.abc import Iterator
 
 import pandas as pd
@@ -48,6 +58,9 @@ FEATURES_SCHEMA = StructType(
         StructField("media_ref", StringType()),
         StructField("media_type", StringType()),
         StructField("n_bytes", LongType()),
+        StructField("width", IntegerType()),       # PNG decode
+        StructField("height", IntegerType()),      # PNG decode
+        StructField("duration_ms", LongType()),    # WAV decode
         StructField("feature", ArrayType(DoubleType())),  # fixed dim 8
         StructField("decode_status", StringType()),
     ]
@@ -55,43 +68,125 @@ FEATURES_SCHEMA = StructType(
 
 _FEATURE_DIM = 8
 
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
 
 def _fake_feature(payload: bytes) -> list:
-    """Deterministic stand-in for a real decoder: 8 doubles derived from
-    the payload digest (stable across runs/partitions)."""
+    """Deterministic stand-in for a learned embedding: 8 doubles derived
+    from the payload digest (stable across runs/partitions)."""
     digest = hashlib.md5(payload or b"").digest()
     return [digest[i] / 255.0 for i in range(_FEATURE_DIM)]
 
 
-def decode_features(media: DataFrame, fake: bool = False) -> DataFrame:
-    """mapInPandas over media rows → per-item feature rows.
+def decode_png_dims(payload: bytes):
+    """(width, height) from a PNG's IHDR chunk, or None if not a PNG.
 
-    The real implementation decodes ``payload`` with an image/audio
-    library inside the iterator (one Arrow batch at a time, never the
-    whole partition in memory).  ``fake=True`` exercises the identical
-    dataflow with the deterministic stand-in.
-    """
+    PNG layout (public spec): 8-byte signature, then the IHDR chunk —
+    4-byte length, 4-byte type ``IHDR``, then big-endian u32 width and
+    u32 height."""
+    if (
+        payload is None
+        or len(payload) < 24
+        or not payload.startswith(PNG_MAGIC)
+        or payload[12:16] != b"IHDR"
+    ):
+        return None
+    return struct.unpack(">II", payload[16:24])
+
+
+def decode_wav_duration_ms(payload: bytes):
+    """Duration in ms from a RIFF/WAVE payload, or None on parse failure."""
+    if payload is None or len(payload) < 12 or payload[:4] != b"RIFF":
+        return None
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            rate = w.getframerate()
+            if rate <= 0:
+                return None
+            return (w.getnframes() * 1000) // rate
+    except wave.Error:
+        return None
+
+
+def _decode_one(payload) -> dict:
+    """Real per-item decode (runs inside the Arrow batch loop)."""
+    b = bytes(payload or b"")
+    dims = decode_png_dims(b)
+    if dims is not None:
+        return {
+            "width": dims[0],
+            "height": dims[1],
+            "duration_ms": None,
+            "decode_status": "ok",
+        }
+    ms = decode_wav_duration_ms(b)
+    if ms is not None:
+        return {
+            "width": None,
+            "height": None,
+            "duration_ms": ms,
+            "decode_status": "ok",
+        }
+    return {
+        "width": None,
+        "height": None,
+        "duration_ms": None,
+        "decode_status": "unsupported_format",
+    }
+
+
+def decode_features(media: DataFrame, fake: bool = False) -> DataFrame:
+    """mapInPandas over media rows → per-item feature/metadata rows.
+
+    One Arrow batch at a time — never the whole partition in memory.
+    The real path (default) decodes PNG dimensions and WAV durations
+    with the stdlib; other formats come back as structured
+    ``unsupported_format`` rows.  ``fake=True`` swaps the decoder for
+    the deterministic digest feature (identical dataflow)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            if not fake:
-                raise NotImplementedError(
-                    "media decode requires an image/audio library "
-                    "(PIL/torchaudio/ffmpeg) not present in this "
-                    "environment; pass fake=True for the deterministic "
-                    "plumbing test"
+            n_bytes = pdf["payload"].map(
+                lambda p: len(p) if p is not None else 0
+            )
+            if fake:
+                yield pd.DataFrame(
+                    {
+                        "media_ref": pdf["media_ref"],
+                        "media_type": pdf["media_type"],
+                        "n_bytes": n_bytes,
+                        "width": pd.Series(
+                            [None] * len(pdf), dtype="object"
+                        ),
+                        "height": pd.Series(
+                            [None] * len(pdf), dtype="object"
+                        ),
+                        "duration_ms": pd.Series(
+                            [None] * len(pdf), dtype="object"
+                        ),
+                        "feature": pdf["payload"].map(
+                            lambda p: _fake_feature(bytes(p or b""))
+                        ),
+                        "decode_status": "ok",
+                    }
                 )
+                continue
+            decoded = pd.DataFrame(
+                [_decode_one(p) for p in pdf["payload"]],
+                index=pdf.index,
+            )
             yield pd.DataFrame(
                 {
                     "media_ref": pdf["media_ref"],
                     "media_type": pdf["media_type"],
-                    "n_bytes": pdf["payload"].map(
-                        lambda p: len(p) if p is not None else 0
-                    ),
-                    "feature": pdf["payload"].map(
-                        lambda p: _fake_feature(bytes(p or b""))
-                    ),
-                    "decode_status": "ok",
+                    "n_bytes": n_bytes,
+                    "width": decoded["width"],
+                    "height": decoded["height"],
+                    "duration_ms": decoded["duration_ms"],
+                    # a learned feature needs a vision/audio model — out
+                    # of scope for the stdlib decoders
+                    "feature": pd.Series([None] * len(pdf), dtype="object"),
+                    "decode_status": decoded["decode_status"],
                 }
             )
 
@@ -145,5 +240,44 @@ def synthesize_media(spark, docs: DataFrame) -> DataFrame:
         F.coalesce(
             F.split(F.col("dims"), "x")[1].cast("int"), F.lit(0)
         ).alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+
+
+def synthesize_png_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL-format media table: one minimal PNG payload per
+    distinct image media_ref, dimensions derived from the ref string.
+
+    Built entirely with native expressions — the PNG signature + IHDR
+    prefix is assembled as hex and ``unhex``-ed into binary (big-endian
+    u32 width/height = zero-padded 8-hex-char fields), so the fixture
+    generator itself stays JVM-side.  The payload is a header-only PNG
+    (no IDAT) — exactly what a header decoder needs, invalid for a pixel
+    decoder, which is fine: ``decode_png_dims`` reads only the IHDR."""
+    refs = (
+        docs.select(F.explode("spans").alias("s"))
+        .filter(F.col("s.kind").isin("image", "figure"))
+        .select(F.col("s.media_ref").alias("media_ref"))
+        .filter(F.col("media_ref").isNotNull())
+        .distinct()
+    )
+    # deterministic dims from the ref string: 16..271 via md5 bytes
+    h = F.md5(F.col("media_ref"))
+    width = (F.conv(F.substring(h, 1, 2), 16, 10).cast("int") + 16)
+    height = (F.conv(F.substring(h, 3, 2), 16, 10).cast("int") + 16)
+    png_hex = F.concat(
+        F.lit("89504E470D0A1A0A"),        # signature
+        F.lit("0000000D49484452"),        # IHDR length=13 + type
+        F.lpad(F.hex(width), 8, "0"),     # big-endian u32 width
+        F.lpad(F.hex(height), 8, "0"),    # big-endian u32 height
+        F.lit("0806000000"),              # bit depth 8, RGBA, no interlace
+        F.lit("00000000"),                # CRC (unchecked by header decode)
+    )
+    return refs.select(
+        "media_ref",
+        F.lit("image").alias("media_type"),
+        F.unhex(png_hex).alias("payload"),
+        width.alias("width"),
+        height.alias("height"),
         F.lit(None).cast("long").alias("duration_ms"),
     )

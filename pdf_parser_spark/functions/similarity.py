@@ -130,17 +130,64 @@ def ann_topk(
     n_bits: int = 8,
     radius: int = 1,
 ) -> DataFrame:
-    """LSH-pruned cosine top-k: scan only rows in the query's probe
-    buckets (multi-probe: Hamming-radius neighbors of the query bucket).
-
-    Bucket assignment is a pure projection → at scale the embeddings table
-    is written partitioned by ``bucket`` and the IN-list prunes to
-    ``1 + n_bits`` partitions (radius 1) of ``2^n_bits``; recall is tuned
-    by ``radius``/``n_bits`` (see tests/test_functions.py recall gate).
-    """
+    """LSH-pruned cosine top-k over an IN-MEMORY DataFrame: the bucket is
+    computed per row at query time, so this still SCANS every row (it
+    saves only the full dot-product ranking on non-probe rows).  Correct
+    as the semantic definition and for one-shot batch use; the scale path
+    is ``write_bucketed`` + ``ann_topk_bucketed``, where the same probe
+    IN-list becomes a partition filter and non-probe rows are never read.
+    Recall is tuned by ``radius``/``n_bits`` (see tests/test_functions.py
+    recall gate)."""
     dim = len(query_vec)
     probes = probe_buckets(query_vec, n_bits, radius)
     pruned = embeddings.filter(
         lsh_bucket(F.col(vec_col), dim, n_bits).isin(probes)
     )
     return cosine_topk(pruned, query_vec, k, id_col, vec_col)
+
+
+def write_bucketed(
+    embeddings: DataFrame,
+    path: str,
+    dim: int,
+    n_bits: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """One-time physical ANN layout: materialize the embeddings table
+    partitioned by LSH ``bucket`` (2^n_bits directories).
+
+    This is the 100-TB design: bucket assignment runs ONCE at write time
+    (a pure projection over the ingest scan), and every subsequent query
+    reads only its probe partitions — ``1 + n_bits`` of ``2^n_bits`` at
+    radius 1 — via partition pruning, never a full scan.  Parquet
+    ``partitionBy`` here ≙ Iceberg identity-partitioning on ``bucket``
+    in production."""
+    out = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        lsh_bucket(F.col(vec_col), dim, n_bits).alias("bucket"),
+    )
+    out.write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+
+def ann_topk_bucketed(
+    spark,
+    path: str,
+    query_vec: list,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 8,
+    radius: int = 1,
+) -> DataFrame:
+    """ANN top-k against a ``write_bucketed`` layout: the probe IN-list
+    lands in the scan's ``PartitionFilters`` (plan-asserted in
+    tests/test_plans.py), so only probe-bucket files are listed and read.
+    Same hash family and probe set as ``ann_topk`` — results are
+    identical; only the physical scan differs."""
+    probes = probe_buckets(query_vec, n_bits, radius)
+    scanned = spark.read.parquet(path).filter(
+        F.col("bucket").isin(probes)
+    )
+    return cosine_topk(scanned, query_vec, k, id_col, vec_col)

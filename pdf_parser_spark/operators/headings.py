@@ -64,12 +64,19 @@ def _mixedcap(clean: Column) -> Column:
     """'Title Case Heading' → capitalized-word ratio
     (heading_strategies.py:140-193).
 
-    ``clean`` is already stripped, so a token starts capitalized iff a
-    ``[A-Z0-9]`` follows start-of-string or whitespace — one regexp_count
-    pass instead of split + per-token filter (hot-path cost matters: this
-    runs inside the per-line detection battery)."""
+    ``clean`` is already stripped, so a token starts capitalized iff an
+    uppercase letter or digit follows start-of-string or whitespace — one
+    regexp_count pass instead of split + per-token filter (hot-path cost
+    matters: this runs inside the per-line detection battery).
+
+    The class is Unicode-aware (``\\p{Lu}\\p{Nd}``) to match the
+    reference's ``word[0].isupper() or word[0].isdigit()`` — 'École
+    Primaire' counts both words capitalized, same as CPython.  Residual
+    scope: Python ``isdigit`` also accepts a few non-Nd numerics
+    (e.g. superscripts) that ``\\p{Nd}`` rejects — no such characters
+    exist in the fixture corpora or the goldens."""
     nwords = F.size(F.split(clean, r"\s+", -1))
-    cap = F.regexp_count(clean, F.lit(r"(^|\s)[A-Z0-9]"))
+    cap = F.regexp_count(clean, F.lit(r"(^|\s)[\p{Lu}\p{Nd}]"))
     # reference: cap < max(1, len(words) // 2) rejects — note the FLOOR
     return F.when(
         (nwords >= 2)
@@ -148,16 +155,45 @@ def strategy_stats_df(
     line_col: str = "line",
     registry: HeadingRegistry | None = None,
 ) -> DataFrame:
-    """Per-strategy match counts over a lines DataFrame — one shuffle on
-    the (tiny) strategy-name key."""
-    return (
-        lines.select(
-            best_strategy_expr(F.col(line_col), registry).alias("strategy")
-        )
-        .filter(F.col("strategy").isNotNull())
-        .groupBy("strategy")
-        .agg(F.count("*").alias("matches_found"))
+    """Per-strategy (matches_found, total_checks) over a lines DataFrame
+    — HeadingDetector.get_strategy_stats (heading_strategies.py:232-243).
+
+    Reference semantics: every strategy's ``get_confidence`` routes
+    through ``matches()`` (heading_strategies.py:46-52), so EACH strategy
+    counts EVERY line it matches independently — 'OVERVIEW HEADING'
+    increments both all_caps and mixed_cap — and ``total_checks`` is the
+    full line count for every strategy.  (An earlier revision counted
+    only the argmax winner; that is detection attribution, not the
+    reference's stat.)
+
+    One map-side partial agg to a single row (no per-line shuffle), then
+    a constant-width explode to (strategy, matches_found, total_checks)
+    rows."""
+    registry = registry or DEFAULT_REGISTRY
+    clean = py_strip(F.coalesce(F.col(line_col), F.lit("")))
+    row = lines.agg(
+        *[
+            F.sum((s.builder(clean) > 0).cast("long")).alias(s.name)
+            for s in registry.strategies
+        ],
+        F.count("*").alias("_total"),
     )
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(s.name).alias("strategy"),
+                    F.coalesce(F.col(s.name), F.lit(0)).alias(
+                        "matches_found"
+                    ),
+                )
+                for s in registry.strategies
+            ]
+        )
+    )
+    return row.select(
+        pairs.alias("p"), F.col("_total").alias("total_checks")
+    ).select("p.strategy", "p.matches_found", "total_checks")
 
 
 def detect_enhanced_heading_expr(

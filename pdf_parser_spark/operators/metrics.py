@@ -226,3 +226,53 @@ def metrics_df(
         "total_section_content_length",
         "section_pages_covered",
     )
+
+
+def corpus_metrics_df(metrics: DataFrame) -> DataFrame:
+    """Corpus-level validation summary: ONE row rolling up the per-doc
+    metrics — the reference's actual report shape
+    (validation_report.py:109-126: Metadata Status, Total ToC Entries,
+    Sections Parsed, Pages with Text, TOC Covered Pages, Page Coverage),
+    generalized from one document to the whole corpus.
+
+    Only INTEGER columns are summed (deterministic under any partition /
+    reduction order); the two percentages are single divisions of those
+    exact sums, replaying safe_percentage at corpus granularity.  Float
+    per-doc columns (average_content_length, overall_coverage) are NOT
+    re-aggregated — a double sum's value depends on reduction order, so
+    it could never hash-match an oracle; re-derive them from the integer
+    totals instead."""
+    agg = metrics.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            (F.col("metadata_status") == "Valid").cast("long")
+        ).alias("docs_metadata_valid"),
+        F.sum("total_toc_entries").cast("long").alias("total_toc_entries"),
+        F.sum("sections_parsed").cast("long").alias("sections_parsed"),
+        F.sum("pages_with_text").cast("long").alias("pages_with_text"),
+        F.sum("total_pages").cast("long").alias("total_pages"),
+        F.sum("toc_covered_pages").cast("long").alias("toc_covered_pages"),
+        F.sum("pages_with_content").cast("long").alias(
+            "pages_with_content"
+        ),
+        F.sum("toc_sections").cast("long").alias("toc_sections"),
+        F.sum("non_toc_sections").cast("long").alias("non_toc_sections"),
+        F.sum("sections_with_tables").cast("long").alias(
+            "sections_with_tables"
+        ),
+        F.sum("sections_with_images").cast("long").alias(
+            "sections_with_images"
+        ),
+        F.sum("total_section_content_length").cast("long").alias(
+            "total_section_content_length"
+        ),
+    )
+    return agg.select(
+        "*",
+        _pct(F.col("pages_with_text"), F.col("total_pages")).alias(
+            "page_coverage_pct"
+        ),
+        _pct(F.col("pages_with_content"), F.col("total_pages")).alias(
+            "extraction_completeness"
+        ),
+    )

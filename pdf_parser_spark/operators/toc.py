@@ -132,30 +132,35 @@ def toc_line_features(lines: pd.Series) -> pd.DataFrame:
 
     # potential-entry probe (X13, toc_parser.py:560-587): line 5..200 chars,
     # >=2 words, last token an int 1..9999, title part truthy & not digits.
-    # Plain-list pass (no per-row .loc) — this touches every line.
-    svals = stripped.tolist()
-    ok = [False] * len(svals)
-    titles = [None] * len(svals)
-    pgs = [None] * len(svals)
-    confs = [None] * len(svals)
-    for j, s in enumerate(svals):
-        if not (5 <= len(s) <= 200):
-            continue
-        w = s.split()
-        if len(w) < 2:
-            continue
-        last = w[-1]
-        if last.isdigit() and 1 <= int(last) <= 9999:
-            title_part = " ".join(w[:-1]).strip()
-            if title_part and not title_part.isdigit():
-                ok[j] = True
-                titles[j] = title_part
-                pgs[j] = int(last)
-                confs[j] = refsem.toc_confidence(s)
-    out["pot_ok"] = pd.Series(ok, index=n)
-    out["pot_title"] = pd.Series(titles, index=n, dtype="object")
-    out["pot_page"] = pd.Series(pgs, index=n, dtype="object")
-    out["pot_conf"] = pd.Series(confs, index=n, dtype="object")
+    # Vectorized pandas str/list ops on the full-line path; only
+    # toc_confidence runs per row, and only on the matched minority.
+    # (" ".join(w[:-1]).strip() ≡ list-join of split() tokens: split()
+    # tokens carry no whitespace, so the reference strip is the identity.)
+    words = stripped.str.split()
+    nw = words.str.len()
+    base = stripped.str.len().between(5, 200) & (nw >= 2)
+    last = pd.Series(None, index=n, dtype="object")
+    last[base] = words[base].str[-1]
+    is_int = base & last.str.isdigit().fillna(False)
+    pg = pd.to_numeric(last.where(is_int), errors="coerce")
+    is_int &= pg.between(1, 9999)
+    title = pd.Series(None, index=n, dtype="object")
+    title[is_int] = words[is_int].str[:-1].str.join(" ")
+    ok = (
+        is_int
+        & title.notna()
+        & (title != "")
+        & ~title.str.isdigit().fillna(False)
+    )
+    conf = pd.Series(None, index=n, dtype="object")
+    hit_idx = ok[ok].index
+    conf.loc[hit_idx] = [
+        refsem.toc_confidence(s) for s in stripped.loc[hit_idx]
+    ]
+    out["pot_ok"] = ok.astype(bool)
+    out["pot_title"] = title.where(ok).astype("object")
+    out["pot_page"] = pg.where(ok).astype("object")
+    out["pot_conf"] = conf
 
     df = pd.DataFrame(out)
     for c in ("prim_idx", "prim_page", "enh_page", "pot_page"):

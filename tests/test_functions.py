@@ -170,10 +170,62 @@ def test_multimodal_fake_decode(spark, docs_df):
         assert r.feature == [want[i] / 255.0 for i in range(8)]
 
 
-def test_multimodal_stub_raises(spark, docs_df):
-    media = mm.synthesize_media(spark, docs_df)
-    with pytest.raises(Exception, match="NotImplementedError|decode"):
-        mm.decode_features(media, fake=False).collect()
+def test_multimodal_real_png_decode(spark, docs_df):
+    """Real decode path: native-built PNG payloads round-trip their IHDR
+    width/height through the mapInPandas decoder."""
+    media = mm.synthesize_png_media(docs_df)
+    want = {
+        r.media_ref: (r.width, r.height)
+        for r in media.select("media_ref", "width", "height").collect()
+    }
+    rows = mm.decode_features(media, fake=False).collect()
+    assert rows
+    for r in rows:
+        assert r.decode_status == "ok", r
+        assert (r.width, r.height) == want[r.media_ref]
+        assert r.duration_ms is None
+        assert r.feature is None
+    # driver-side cross-check of one payload against the stdlib parser
+    one = media.head()
+    assert mm.decode_png_dims(bytes(one.payload)) == (
+        one.width,
+        one.height,
+    )
+
+
+def test_multimodal_real_wav_decode(spark):
+    """Real decode path: a genuine WAV payload (written with the stdlib
+    ``wave`` module) decodes to its exact duration."""
+    import io
+    import wave as wave_mod
+
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"\x00\x00" * 4000)  # 0.5 s
+    payload = buf.getvalue()
+    media = spark.createDataFrame(
+        [("wav-1", "audio", bytearray(payload), None, None, None)],
+        mm.MEDIA_SCHEMA,
+    )
+    rows = mm.decode_features(media, fake=False).collect()
+    assert len(rows) == 1
+    assert rows[0].decode_status == "ok"
+    assert rows[0].duration_ms == 500
+    assert rows[0].width is None
+
+
+def test_multimodal_unsupported_format_is_structured(spark, docs_df):
+    """Non-PNG/WAV payloads come back as quarantine-style rows, never a
+    task failure (error-column philosophy, SURVEY.md §4 P10)."""
+    media = mm.synthesize_media(spark, docs_df)  # utf-8 text payloads
+    rows = mm.decode_features(media, fake=False).collect()
+    assert rows
+    for r in rows:
+        assert r.decode_status == "unsupported_format"
+        assert r.n_bytes > 0
 
 
 def test_media_linking(spark, docs_df):
@@ -269,3 +321,106 @@ def test_ann_recall_floor_on_embeddings_table(spark):
         total += len(brute & ann) / 10
     emb.unpersist()
     assert total / 3 >= 0.4, f"mean recall {total / 3}"
+
+
+def test_ann_bucketed_layout_matches_inmemory(spark, tmp_path):
+    """The physical bucket-partitioned layout returns EXACTLY what the
+    in-memory probe filter returns — only the scan differs (pruned
+    partitions vs full scan + per-row bucket eval)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(120, 16)).astype("float64")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(120)],
+        ["vec_id", "embedding"],
+    )
+    path = str(tmp_path / "emb_bucketed")
+    sim.write_bucketed(df, path, dim=16, n_bits=4)
+    q = [float(x) for x in vecs[9]]
+    want = [
+        (r.id, r.score)
+        for r in sim.ann_topk(df, q, k=10, n_bits=4, radius=1).collect()
+    ]
+    got = [
+        (r.id, r.score)
+        for r in sim.ann_topk_bucketed(
+            spark, path, q, k=10, n_bits=4, radius=1
+        ).collect()
+    ]
+    assert got == want
+    # the layout really is one directory per bucket
+    import os
+
+    parts = [
+        d for d in os.listdir(path) if d.startswith("bucket=")
+    ]
+    assert 1 < len(parts) <= 16
+
+
+def test_simhash_candidate_pairs_planted(spark):
+    """Pigeonhole completeness + precision: planted near-dups (1-2 words
+    changed) are found within Hamming<=3; unrelated docs are not paired."""
+    base = (
+        "the quick brown fox jumps over the lazy dog near the quiet "
+        "river bank today"
+    )
+    other = (
+        "completely different words about spark catalyst optimizer "
+        "plans and shuffles everywhere"
+    )
+    rows = [
+        ("a1", base),
+        ("a2", base + " extra"),
+        ("b1", other),
+        ("b2", other + " okay"),
+        ("c1", "unrelated gamma delta epsilon zeta eta theta iota kappa"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dd.simhash_candidate_pairs(df, max_hamming=3).collect()
+    }
+    assert ("a1", "a2") in pairs and pairs[("a1", "a2")] <= 3
+    assert ("b1", "b2") in pairs and pairs[("b1", "b2")] <= 3
+    assert all({a[0], b[0]} != {"a", "c"} for a, b in pairs)
+    assert ("a1", "b1") not in pairs
+
+    # ground truth: pairs == ALL pairs within the radius (bucket join is
+    # pruning only, never lossy) — brute-force check over fingerprints
+    fps = {
+        r.doc_id: r.fp
+        for r in df.select(
+            "doc_id", dd.simhash32(F.col("text"), 1).alias("fp")
+        ).collect()
+    }
+    import itertools
+
+    brute = {
+        (x, y): bin(fps[x] ^ fps[y]).count("1")
+        for x, y in itertools.combinations(sorted(fps), 2)
+        if bin(fps[x] ^ fps[y]).count("1") <= 3
+    }
+    assert pairs == brute
+
+
+def test_simhash_block_split_covers_all_bits(spark):
+    """Block values must partition all 32 bits: reassembling the blocks
+    reproduces the fingerprint."""
+    df = spark.createDataFrame(
+        [("d1", "alpha beta gamma delta epsilon zeta")],
+        ["doc_id", "text"],
+    )
+    row = df.select(
+        dd.simhash32(F.col("text"), 1).alias("fp"),
+        dd.simhash_block_values(
+            dd.simhash32(F.col("text"), 1), max_hamming=3
+        ).alias("blocks"),
+    ).head()
+    widths = [8, 8, 8, 8]
+    acc, lo = 0, 0
+    for v, w in zip(row.blocks, widths):
+        assert 0 <= v < (1 << w)
+        acc |= v << lo
+        lo += w
+    assert acc == row.fp

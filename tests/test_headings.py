@@ -85,23 +85,45 @@ def test_detection_is_jvm_native(spark):
     assert "Python" not in plan
 
 
-def test_strategy_stats_first_wins(spark):
+def test_strategy_stats_independent_counts(spark):
+    """Reference get_strategy_stats (heading_strategies.py:46-52,
+    232-243): every strategy counts every line it matches independently
+    ('OVERVIEW HEADING' increments BOTH all_caps and mixed_cap), and
+    total_checks is the full line count for each strategy."""
     df = spark.createDataFrame(
-        [("12.3.4.5.6 x",),      # numbered 1.0 beats mixed_cap 0.5
-         ("OVERVIEW HEADING",),  # all_caps 1.0 TIES mixed_cap 1.0 →
-                                 # first strategy wins (strict '>')
-         ("Mixed case words",),  # only mixed_cap fires
+        [("12.3.4.5.6 x",),      # numbered; mixed_cap (digit-start word)
+         ("OVERVIEW HEADING",),  # all_caps AND mixed_cap
+         ("Mixed case words",),  # mixed_cap only
          ("lower case only",)],  # nothing fires
         ["line"],
     )
-    stats = {
-        r.strategy: r.matches_found
-        for r in H.strategy_stats_df(df).collect()
+    rows = {r.strategy: r for r in H.strategy_stats_df(df).collect()}
+    assert rows["numbered"].matches_found == 1
+    assert rows["all_caps"].matches_found == 1
+    assert rows["mixed_cap"].matches_found == 3
+    assert all(r.total_checks == 4 for r in rows.values())
+
+
+def test_mixedcap_unicode_parity(spark):
+    """Non-ASCII capitalized words count (ADVICE r2): the Spark
+    \\p{Lu}\\p{Nd} class matches the reference's word[0].isupper()
+    semantics on accented headings."""
+    lines = [
+        "École Primaire Générale",
+        "Über Die Straße",
+        "école primaire générale",   # lowercase accents: no caps
+        "Ωμέγα Πρωτόκολλο",          # Greek capitals
+    ]
+    df = spark.createDataFrame([(x,) for x in lines], ["line"])
+    got = {
+        r.line: r.heading
+        for r in df.select(
+            "line",
+            H.detect_heading_expr(F.col("line")).alias("heading"),
+        ).collect()
     }
-    assert stats.get("numbered") == 1
-    assert stats.get("all_caps") == 1
-    assert stats.get("mixed_cap") == 1
-    assert sum(stats.values()) == 3  # the non-heading line counts nowhere
+    for x in lines:
+        assert got[x] == refsem.detect_heading(x), x
 
 
 def test_add_strategy_extends_detection(spark):

@@ -103,3 +103,32 @@ def test_link_media_broadcast_is_gated(spark, docs_df):
     opted_in = mm.link_media(spans, media, broadcast=True)
     plan = _plan(opted_in)
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_ann_bucketed_scan_prunes_partitions(spark, tmp_path):
+    """The probe IN-list must land in the scan's PartitionFilters (file
+    listing prunes to probe buckets), not in a post-scan Filter — the
+    difference between reading 5/16 directories and reading the table."""
+    import numpy as np
+
+    from pdf_parser_spark.functions import similarity as sim
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(64, 16)).astype("float64")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(64)],
+        ["vec_id", "embedding"],
+    )
+    path = str(tmp_path / "emb_bucketed")
+    sim.write_bucketed(df, path, dim=16, n_bits=4)
+    q = [float(x) for x in vecs[0]]
+    out = sim.ann_topk_bucketed(spark, path, q, k=5, n_bits=4, radius=1)
+    plan = _plan(out)
+    assert "PartitionFilters" in plan
+    # the bucket predicate is a partition filter on the scan ...
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
+    assert "bucket" in pf and "IN" in pf.upper()
+    # ... and the probe set is the expected 1 + n_bits buckets
+    assert len(sim.probe_buckets(q, n_bits=4, radius=1)) == 5
