@@ -2,10 +2,14 @@
 
 ``entry(spark)`` runs the flagship W2 span-sequence extraction on the
 sf0.001 slice; ``queries()``/``oracle_sql()`` expose the operator registry
-in ``pdf_parser_spark.driver_queries`` — 53 queries, every one with a
-DuckDB value-hash oracle (including the flagship and both pipeline
-composites); the TOC regex battery is additionally gated by the
-oracle-parity pytest + bit-for-bit reference-golden replay.
+in ``pdf_parser_spark.driver_queries`` — 60 queries, every one with a
+DuckDB value-hash oracle.  That includes the flagship, the zero-TOC
+pipeline composites, AND (round 3) the TOC-BEARING composites
+``pipeline_toc`` / ``pipeline_toc_sections`` / ``pipeline_toc_metrics``,
+whose corpus drives the X1 battery → quality gates → W3 dedup → range-
+join section path end-to-end under hash comparison; the TOC regex
+battery is additionally gated by the oracle-parity pytest + bit-for-bit
+reference-golden replay.
 """
 
 from __future__ import annotations

@@ -306,12 +306,19 @@ def simhash_candidate_pairs(
     ``lsh_candidate_pairs`` (reference analog: the TOC dedup pass,
     toc_parser.py:661-691, lifted to corpus-level near-dup search).
 
-    Scale path: fingerprints shuffle once on (block_idx, block_val) —
-    2^8-ish bucket keys per block at the default split, so boilerplate-
-    heavy corpora skew into hot buckets; the exact ``bit_count`` filter
-    after the bucket join is a cheap integer op per candidate.  Never an
-    all-pairs comparison.  ``materializer`` as in
-    ``lsh_candidate_pairs``."""
+    Scale path: fingerprints shuffle once on (block_idx, block_val); the
+    exact ``bit_count`` filter after the bucket join is a cheap integer
+    op per candidate.  Never an all-pairs comparison — but bucket
+    cardinality bounds the join fan-out: the default (32 bits,
+    max_hamming=3) gives 8-bit blocks = 256 keys per block, fine to
+    ~10^6 docs per shard before near-uniform corpora make buckets
+    quadratic.  At corpus scale either drop to ``max_hamming=1``
+    (16-bit blocks, 65k keys — the standard two-table split), shard the
+    corpus (e.g. by language/domain) before pairing, or widen the
+    fingerprint (Manku et al., WWW'07 use 64-bit simhash with permuted
+    16-bit block tables; a 64-bit variant needs integer shifts rather
+    than this module's double-exact 2^b arithmetic, which is only exact
+    below 2^53).  ``materializer`` as in ``lsh_candidate_pairs``."""
     fps = df.select(
         F.col(id_col).alias("id"),
         simhash32(F.col(text_col), k).alias("fp"),
