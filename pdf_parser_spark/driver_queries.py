@@ -1950,6 +1950,77 @@ def dedup_simhash_pairs(spark, sf_dir):
     )
 
 
+_EMB_PAIRS_SQL = """
+WITH e0 AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+corpus AS (
+  SELECT vec_id AS id, v FROM e0
+  UNION ALL
+  SELECT vec_id + 1000000 AS id,
+         list_value(v[1] + 0.01) || v[2:64] AS v
+  FROM e0 WHERE vec_id % 10 = 0),
+planes AS (
+  SELECT tt.t AS t, bb.b AS b,
+         list_transform(generate_series(0, 63), d ->
+           CASE WHEN (strpos('0123456789abcdef',
+                 substr(md5('planet' || CAST(tt.t AS VARCHAR) || ':'
+                        || CAST(bb.b AS VARCHAR) || ':'
+                        || CAST(d AS VARCHAR)), 2, 1)) - 1) % 2 = 0
+                THEN 1.0 ELSE -1.0 END) AS prow
+  FROM (SELECT unnest(generate_series(0, 1)) AS t) tt,
+       (SELECT unnest(generate_series(0, 5)) AS b) bb),
+buckets AS (
+  SELECT c.id, p.t,
+         CAST(sum(CASE WHEN list_dot_product(c.v, p.prow) > 0
+                  THEN CAST(pow(2, p.b) AS BIGINT) ELSE 0 END)
+              AS BIGINT) AS bucket
+  FROM corpus c CROSS JOIN planes p
+  GROUP BY c.id, p.t),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.t = b.t AND a.bucket = b.bucket AND a.id < b.id),
+scored AS (
+  SELECT c.id_a, c.id_b,
+         round(list_dot_product(x.v, y.v)
+               / (sqrt(list_dot_product(x.v, x.v))
+                  * sqrt(list_dot_product(y.v, y.v))), 6) AS cosine
+  FROM cand c
+  JOIN corpus x ON x.id = c.id_a
+  JOIN corpus y ON y.id = c.id_b)
+SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.99
+"""
+
+
+@q("dedup_embedding_pairs", _EMB_PAIRS_SQL)
+def dedup_embedding_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup dedup (similarity.embedding_near_dup_
+    pairs): every 10th vector gets a planted near-identical variant
+    (component-0 bump), candidates come from a 2-table hyperplane-LSH
+    OR, and the exact rounded-cosine >= 0.99 filter keeps only true
+    near-dups.  The oracle replays the salted hash tables, the bucket
+    join, and the cosine filter in SQL — random 64-dim cosines
+    concentrate near 0, so no pair sits at the rounding boundary."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    variants = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.concat(
+            F.array(F.col("embedding")[0] + F.lit(0.01)),
+            F.slice("embedding", 2, 63),
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(variants)
+    return sim.embedding_near_dup_pairs(
+        corpus, dim=64, threshold=0.99, n_bits=6, n_tables=2
+    )
+
+
 @q("sim_ann_bucketed", _ANN_SQL)
 def sim_ann_bucketed(spark, sf_dir):
     """ANN top-k through the PHYSICAL bucket-partitioned layout

@@ -65,25 +65,29 @@ def cosine_topk(
     )
 
 
-def _plane(dim: int, n_bits: int):
+def _plane(dim: int, n_bits: int, salt: str = ""):
     """Deterministic pseudo-random hyperplanes: component (b, d) is
     +1/-1 by a fixed parity of md5 — computed driver-side so the plan
-    embeds plain literals."""
+    embeds plain literals.  ``salt`` derives INDEPENDENT hash tables
+    (multi-table OR for near-dup candidate generation); the default ""
+    reproduces the original family exactly."""
     import hashlib
 
     planes = []
     for b in range(n_bits):
         row = []
         for d in range(dim):
-            h = hashlib.md5(f"plane:{b}:{d}".encode()).hexdigest()
+            h = hashlib.md5(f"plane{salt}:{b}:{d}".encode()).hexdigest()
             row.append(1.0 if int(h[:2], 16) % 2 == 0 else -1.0)
         planes.append(row)
     return planes
 
 
-def lsh_bucket(vec: Column, dim: int, n_bits: int = 8) -> Column:
+def lsh_bucket(
+    vec: Column, dim: int, n_bits: int = 8, salt: str = ""
+) -> Column:
     """Random-hyperplane LSH bucket id (0..2^n_bits-1) as a long."""
-    planes = _plane(dim, n_bits)
+    planes = _plane(dim, n_bits, salt)
     out = F.lit(0).cast("long")
     for b, row in enumerate(planes):
         proj = dot(vec, F.array(*[F.lit(c) for c in row]))
@@ -191,3 +195,74 @@ def ann_topk_bucketed(
         F.col("bucket").isin(probes)
     )
     return cosine_topk(scanned, query_vec, k, id_col, vec_col)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.99,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 6,
+    n_tables: int = 2,
+    decimals: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine):
+    candidates share a hyperplane-LSH bucket in ANY of ``n_tables``
+    independent tables (salted hash families), then an EXACT cosine
+    ``>= threshold`` post-filter on the rounded score.
+
+    This is the embedding flavor of the dedup family (beside MinHash
+    and SimHash): semantically-duplicate documents — re-encodes,
+    near-identical revisions — sit at cosine ~1 and collide in every
+    table w.h.p.; the multi-table OR recovers pairs that a single
+    table's hyperplanes happen to split.  Scale shape mirrors
+    ``lsh_candidate_pairs``: one shuffle on (table, bucket), never
+    all-pairs; vectors are re-joined onto the (much smaller) candidate
+    set for the exact filter.  Recall is tuned by ``n_tables``/
+    ``n_bits`` (fewer bits → bigger buckets → higher recall, more
+    candidates)."""
+    vecs = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    )
+    buckets = vecs.select(
+        "id",
+        *[
+            lsh_bucket(F.col("v"), dim, n_bits, salt=f"t{t}").alias(
+                f"_b{t}"
+            )
+            for t in range(n_tables)
+        ],
+    )
+    banded = buckets.select(
+        "id",
+        F.posexplode(
+            F.array(*[F.col(f"_b{t}") for t in range(n_tables)])
+        ).alias("tbl", "bucket"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.tbl") == F.col("r.tbl"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    a = vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    b = vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                cosine(F.col("va"), F.col("vb")), decimals
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -404,6 +404,30 @@ def test_simhash_candidate_pairs_planted(spark):
     assert pairs == brute
 
 
+def test_embedding_near_dup_pairs_planted(spark):
+    """Planted exact/near duplicates are recovered; unrelated random
+    vectors (cosine ~0 at dim 32) never pass the threshold."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(40, 32)).astype("float64")
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    # exact duplicate of 3, near-duplicate of 7
+    rows.append((103, [float(x) for x in vecs[3]]))
+    near = vecs[7] + 0.001 * rng.normal(size=32)
+    rows.append((107, [float(x) for x in near]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {
+        (r.id_a, r.id_b): r.cosine
+        for r in sim.embedding_near_dup_pairs(
+            df, dim=32, threshold=0.99, n_bits=4, n_tables=2
+        ).collect()
+    }
+    assert (3, 103) in got and got[(3, 103)] == 1.0
+    assert (7, 107) in got and got[(7, 107)] >= 0.99
+    assert len(got) == 2  # nothing else crosses the threshold
+
+
 def test_simhash_block_split_covers_all_bits(spark):
     """Block values must partition all 32 bits: reassembling the blocks
     reproduces the fingerprint."""
