@@ -2156,6 +2156,122 @@ def multimodal_decode_png(spark, sf_dir):
     )
 
 
+_RESIZE_SQL = """
+WITH refs AS (
+  SELECT DISTINCT 'img-' || CAST(doc_id AS VARCHAR) AS media_ref
+  FROM documents),
+h AS (SELECT media_ref, md5(media_ref) AS hx FROM refs),
+dims AS (
+  SELECT media_ref,
+         8 + (16 * (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1)
+              + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1)) % 24
+           AS w,
+         8 + (16 * (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1)
+              + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1)) % 24
+           AS h,
+         16 * (strpos('0123456789abcdef', substr(hx, 5, 1)) - 1)
+              + (strpos('0123456789abcdef', substr(hx, 6, 1)) - 1) AS seed
+  FROM h),
+t AS (
+  SELECT media_ref, w, h, seed,
+         CASE WHEN greatest(w, h) <= 12 THEN w
+              ELSE greatest(1, (w * 12) // greatest(w, h)) END AS nw,
+         CASE WHEN greatest(w, h) <= 12 THEN h
+              ELSE greatest(1, (h * 12) // greatest(w, h)) END AS nh
+  FROM dims)
+SELECT media_ref,
+       CAST(w AS INT) AS orig_width,
+       CAST(h AS INT) AS orig_height,
+       CAST(nw AS INT) AS width,
+       CAST(nh AS INT) AS height,
+       CAST(list_sum(flatten(list_transform(generate_series(0, nh - 1),
+         y -> list_transform(generate_series(0, nw - 1),
+           x -> (7 * ((x * w) // nw) + 13 * ((y * h) // nh) + seed)
+                % 251)))) AS BIGINT) AS pixel_sum,
+       'ok' AS resize_status
+FROM t
+"""
+
+
+@q("multimodal_resize_png", _RESIZE_SQL)
+def multimodal_resize_png(spark, sf_dir):
+    """REAL image resize under driver verification: full-pixel PNGs
+    (zlib-compressed grayscale, pixel(x,y) = (7x+13y+seed) % 251, dims
+    seeded from md5 of the ref) flow through the nearest-neighbor
+    ``resize_images`` mapInPandas stage, and the RESIZED payloads are
+    re-decoded by ``png_pixel_stats``.  The oracle recomputes the
+    sampled-pixel sum arithmetically (src = (dst*src_dim)//dst_dim), so
+    a green hash proves decode → downscale → re-encode → decode
+    round-trips bit-exactly.  Images with max(w,h) <= 12 take the
+    no-upscale identity branch — both paths are exercised."""
+    from pdf_parser_spark.functions import multimodal as mm
+
+    docs = synthesize_spans(_t(spark, sf_dir, "documents"))
+    media = mm.synthesize_pixel_png_media(docs)
+    resized = mm.resize_images(media, max_dim=12)
+    stats = mm.png_pixel_stats(resized)
+    return (
+        resized.select(
+            "media_ref", "orig_width", "orig_height", "resize_status"
+        )
+        .join(stats, "media_ref")
+        .select(
+            "media_ref", "orig_width", "orig_height", "width", "height",
+            "pixel_sum", "resize_status",
+        )
+    )
+
+
+_FRAME_SAMPLE_SQL = """
+WITH refs AS (
+  SELECT DISTINCT 'img-' || CAST(doc_id AS VARCHAR) AS media_ref
+  FROM documents),
+h AS (SELECT media_ref, md5(media_ref) AS hx FROM refs),
+t AS (
+  SELECT media_ref,
+         100 + (16 * (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1)
+                + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1))
+               % 100 AS n,
+         16 * (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1)
+              + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1) AS seed
+  FROM h)
+SELECT media_ref,
+       CAST(n AS BIGINT) AS orig_frames,
+       CAST((n + 3) // 4 AS BIGINT) AS frames,
+       CAST(2000 AS INT) AS rate,
+       CAST(list_sum(list_transform(generate_series(0, (n + 3) // 4 - 1),
+         k -> ((148 * k + seed) % 20001) - 10000)) AS BIGINT)
+         AS sample_sum,
+       'ok' AS sample_status
+FROM t
+"""
+
+
+@q("multimodal_frame_sample", _FRAME_SAMPLE_SQL)
+def multimodal_frame_sample(spark, sf_dir):
+    """REAL frame sampling under driver verification: PCM16 WAVs
+    (sample(i) = ((37i+seed) % 20001) - 10000, length seeded from md5)
+    are decimated by ``sample_frames`` (keep every 4th frame, rate
+    8000 → 2000 Hz) and the OUTPUT payloads re-decoded by
+    ``wav_pcm_stats``.  The oracle recomputes the kept-sample sum
+    arithmetically (sample(4k) → 148k + seed), so a green hash proves
+    the decode → decimate → re-encode → decode round trip."""
+    from pdf_parser_spark.functions import multimodal as mm
+
+    docs = synthesize_spans(_t(spark, sf_dir, "documents"))
+    media = mm.synthesize_wav_media(docs)
+    sampled = mm.sample_frames(media, every_n=4)
+    stats = mm.wav_pcm_stats(sampled)
+    return (
+        sampled.select("media_ref", "orig_frames", "sample_status")
+        .join(stats, "media_ref")
+        .select(
+            "media_ref", "orig_frames", "frames", "rate", "sample_sum",
+            "sample_status",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # TOC-BEARING composite corpus: the full X1 battery → quality gates →
 # W3 dedup → W1/J2 range-join path under driver verification (r2 gap:

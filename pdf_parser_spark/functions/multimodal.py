@@ -25,6 +25,7 @@ import hashlib
 import io
 import struct
 import wave
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -193,6 +194,329 @@ def decode_features(media: DataFrame, fake: bool = False) -> DataFrame:
     return media.mapInPandas(batches, FEATURES_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# Real pixel/PCM codecs (stdlib zlib/wave) behind the resize and
+# frame-sample operators.  Scope: 8-bit grayscale non-interlaced PNG
+# (all five scanline filters on decode, filter 0 on encode) and PCM16
+# mono WAV — the formats the fixture synthesizers emit; anything else
+# comes back as a structured ``unsupported_format`` row.
+# ---------------------------------------------------------------------------
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png_gray(width: int, height: int, pixels: bytes) -> bytes:
+    """Real PNG encoder: 8-bit grayscale, filter 0 scanlines, one
+    zlib-compressed IDAT, correct CRCs (decodable by any PNG reader)."""
+    raw = b"".join(
+        b"\x00" + pixels[y * width : (y + 1) * width]
+        for y in range(height)
+    )
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png_gray(payload):
+    """(width, height, pixel-bytes) for an 8-bit grayscale non-interlaced
+    PNG, or None if the payload is not one.  Reconstructs all five
+    standard scanline filters (None/Sub/Up/Average/Paeth) at 1 byte per
+    pixel, so inputs from any conforming encoder decode correctly."""
+    b = bytes(payload or b"")
+    if not b.startswith(PNG_MAGIC):
+        return None
+    pos, idat, w, h = 8, [], None, None
+    while pos + 8 <= len(b):
+        (ln,) = struct.unpack(">I", b[pos : pos + 4])
+        ctype = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + ln]
+        if ctype == b"IHDR":
+            if len(data) < 13:
+                return None
+            w, h, depth, color, comp, filt, inter = struct.unpack(
+                ">IIBBBBB", data[:13]
+            )
+            if depth != 8 or color != 0 or comp or filt or inter:
+                return None
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None or not idat:
+        return None
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        return None
+    stride = w + 1
+    if len(raw) < stride * h:
+        return None
+    out = bytearray()
+    prev = bytearray(w)
+    for y in range(h):
+        line = raw[y * stride : (y + 1) * stride]
+        ft, cur = line[0], bytearray(line[1:])
+        if ft == 1:  # Sub
+            for x in range(1, w):
+                cur[x] = (cur[x] + cur[x - 1]) & 0xFF
+        elif ft == 2:  # Up
+            for x in range(w):
+                cur[x] = (cur[x] + prev[x]) & 0xFF
+        elif ft == 3:  # Average
+            for x in range(w):
+                left = cur[x - 1] if x else 0
+                cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for x in range(w):
+                left = cur[x - 1] if x else 0
+                ul = prev[x - 1] if x else 0
+                cur[x] = (cur[x] + _paeth(left, prev[x], ul)) & 0xFF
+        elif ft != 0:
+            return None
+        out += cur
+        prev = cur
+    return w, h, bytes(out)
+
+
+def resize_png_nearest(payload, max_dim: int):
+    """Nearest-neighbor downscale so max(w, h) <= max_dim (never
+    upscales); integer source mapping ``src = (dst * src_dim) //
+    dst_dim`` so an oracle can recompute sampled pixels arithmetically.
+    Returns (new_w, new_h, new_png_bytes, orig_w, orig_h) or None."""
+    dec = decode_png_gray(payload)
+    if dec is None:
+        return None
+    w, h, px = dec
+    m = max(w, h)
+    if m <= max_dim:
+        nw, nh = w, h
+    else:
+        nw = max(1, (w * max_dim) // m)
+        nh = max(1, (h * max_dim) // m)
+    out = bytearray(nw * nh)
+    for y in range(nh):
+        row_off = ((y * h) // nh) * w
+        base = y * nw
+        for x in range(nw):
+            out[base + x] = px[row_off + (x * w) // nw]
+    return nw, nh, encode_png_gray(nw, nh, bytes(out)), w, h
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_ref", StringType()),
+        StructField("media_type", StringType()),
+        StructField("orig_width", IntegerType()),
+        StructField("orig_height", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("payload", BinaryType()),
+        StructField("resize_status", StringType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, max_dim: int = 256) -> DataFrame:
+    """Image resize as an Arrow-batched ``mapInPandas`` stage: each
+    batch's PNG payloads are decoded, nearest-neighbor downscaled to fit
+    ``max_dim``, and re-encoded — real bytes in, real bytes out.
+    Non-decodable payloads yield ``resize_status='unsupported_format'``
+    rows with a null payload (quarantine philosophy, never a task
+    failure).  Embarrassingly parallel: no shuffle, one pass."""
+
+    cols = list(RESIZE_SCHEMA.fieldNames())
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for ref, mtype, payload in zip(
+                pdf["media_ref"], pdf["media_type"], pdf["payload"]
+            ):
+                r = resize_png_nearest(payload, max_dim)
+                if r is None:
+                    rows.append(
+                        (ref, mtype, None, None, None, None, None,
+                         "unsupported_format")
+                    )
+                else:
+                    nw, nh, out, w, h = r
+                    rows.append((ref, mtype, w, h, nw, nh, out, "ok"))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(batches, RESIZE_SCHEMA)
+
+
+PIXEL_STATS_SCHEMA = StructType(
+    [
+        StructField("media_ref", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("pixel_sum", LongType()),
+        StructField("pixel_status", StringType()),
+    ]
+)
+
+
+def png_pixel_stats(media: DataFrame) -> DataFrame:
+    """Decode PNG payloads back to pixels and report (dims, pixel sum) —
+    the round-trip verifier for ``resize_images``: a green driver hash
+    on these stats proves the re-encoded payload is a valid PNG holding
+    exactly the nearest-neighbor-sampled pixels."""
+
+    cols = list(PIXEL_STATS_SCHEMA.fieldNames())
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                dec = decode_png_gray(payload)
+                if dec is None:
+                    rows.append((ref, None, None, None, "undecodable"))
+                else:
+                    w, h, px = dec
+                    rows.append((ref, w, h, sum(px), "ok"))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select("media_ref", "payload").mapInPandas(
+        batches, PIXEL_STATS_SCHEMA
+    )
+
+
+def encode_wav_pcm16(samples, rate: int) -> bytes:
+    """Real PCM16 mono WAV encoder via the stdlib ``wave`` module."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(struct.pack("<%dh" % len(samples), *samples))
+    return buf.getvalue()
+
+
+def decode_wav_pcm16(payload):
+    """(rate, samples-list) for a PCM16 mono WAV, else None."""
+    b = bytes(payload or b"")
+    if len(b) < 12 or b[:4] != b"RIFF":
+        return None
+    try:
+        with wave.open(io.BytesIO(b), "rb") as w:
+            if w.getnchannels() != 1 or w.getsampwidth() != 2:
+                return None
+            rate = w.getframerate()
+            n = w.getnframes()
+            data = w.readframes(n)
+    except wave.Error:
+        return None
+    return None if len(data) < 2 * n else (
+        rate, list(struct.unpack("<%dh" % n, data[: 2 * n]))
+    )
+
+
+SAMPLE_SCHEMA = StructType(
+    [
+        StructField("media_ref", StringType()),
+        StructField("media_type", StringType()),
+        StructField("orig_frames", LongType()),
+        StructField("frames", LongType()),
+        StructField("rate", IntegerType()),
+        StructField("payload", BinaryType()),
+        StructField("sample_status", StringType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
+    """Frame sampling as an Arrow-batched ``mapInPandas`` stage: keep
+    every ``every_n``-th frame of each PCM16 WAV payload (frames 0, n,
+    2n, ...) and re-encode at ``rate // every_n`` so playback duration
+    is preserved.  This is the audio instance of the generic
+    frame-sample operator (video frame sampling plugs into the same
+    dataflow when a codec is available; non-WAV payloads come back as
+    structured ``unsupported_format`` rows).  No shuffle, one pass."""
+
+    cols = list(SAMPLE_SCHEMA.fieldNames())
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for ref, mtype, payload in zip(
+                pdf["media_ref"], pdf["media_type"], pdf["payload"]
+            ):
+                dec = decode_wav_pcm16(payload)
+                if dec is None:
+                    rows.append(
+                        (ref, mtype, None, None, None, None,
+                         "unsupported_format")
+                    )
+                else:
+                    rate, samples = dec
+                    kept = samples[::every_n]
+                    out_rate = max(1, rate // every_n)
+                    rows.append(
+                        (ref, mtype, len(samples), len(kept), out_rate,
+                         encode_wav_pcm16(kept, out_rate), "ok")
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.mapInPandas(batches, SAMPLE_SCHEMA)
+
+
+PCM_STATS_SCHEMA = StructType(
+    [
+        StructField("media_ref", StringType()),
+        StructField("rate", IntegerType()),
+        StructField("frames", LongType()),
+        StructField("sample_sum", LongType()),
+        StructField("pcm_status", StringType()),
+    ]
+)
+
+
+def wav_pcm_stats(media: DataFrame) -> DataFrame:
+    """Decode WAV payloads back to PCM and report (rate, frame count,
+    sample sum) — the round-trip verifier for ``sample_frames``."""
+
+    cols = list(PCM_STATS_SCHEMA.fieldNames())
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for ref, payload in zip(pdf["media_ref"], pdf["payload"]):
+                dec = decode_wav_pcm16(payload)
+                if dec is None:
+                    rows.append((ref, None, None, None, "undecodable"))
+                else:
+                    rate, samples = dec
+                    rows.append(
+                        (ref, rate, len(samples), sum(samples), "ok")
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select("media_ref", "payload").mapInPandas(
+        batches, PCM_STATS_SCHEMA
+    )
+
+
 def link_media(
     spans_out: DataFrame,
     media: DataFrame,
@@ -242,6 +566,74 @@ def synthesize_media(spark, docs: DataFrame) -> DataFrame:
         ).alias("height"),
         F.lit(None).cast("long").alias("duration_ms"),
     )
+
+
+def _image_refs(docs: DataFrame) -> DataFrame:
+    return (
+        docs.select(F.explode("spans").alias("s"))
+        .filter(F.col("s.kind").isin("image", "figure"))
+        .select(F.col("s.media_ref").alias("media_ref"))
+        .filter(F.col("media_ref").isNotNull())
+        .distinct()
+    )
+
+
+def synthesize_pixel_png_media(docs: DataFrame) -> DataFrame:
+    """Deterministic FULL-pixel PNG media table (one per distinct image
+    media_ref), built distributed via mapInPandas: dims and a pixel seed
+    derive from md5 of the ref (w = 8 + b0 % 24, h = 8 + b1 % 24,
+    seed = b2, using the hexdigest's byte values — the same md5-string
+    arithmetic a SQL oracle can replay), and pixel(x, y) =
+    (7x + 13y + seed) % 251.  Payloads are REAL zlib-compressed PNGs."""
+
+    cols = list(MEDIA_SCHEMA.fieldNames())
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for ref in pdf["media_ref"]:
+                hx = hashlib.md5(ref.encode()).hexdigest()
+                w = 8 + int(hx[0:2], 16) % 24
+                h = 8 + int(hx[2:4], 16) % 24
+                seed = int(hx[4:6], 16)
+                px = bytes(
+                    (7 * x + 13 * y + seed) % 251
+                    for y in range(h)
+                    for x in range(w)
+                )
+                rows.append(
+                    (ref, "image", encode_png_gray(w, h, px), w, h, None)
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return _image_refs(docs).mapInPandas(batches, MEDIA_SCHEMA)
+
+
+def synthesize_wav_media(docs: DataFrame) -> DataFrame:
+    """Deterministic PCM16 WAV media table (one per distinct image
+    media_ref, typed audio): n_frames = 100 + b0 % 100, seed = b1 from
+    md5 of the ref, rate 8000 Hz, sample(i) = ((37i + seed) % 20001)
+    - 10000 — all recomputable arithmetically by a SQL oracle."""
+
+    cols = list(MEDIA_SCHEMA.fieldNames())
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for ref in pdf["media_ref"]:
+                hx = hashlib.md5(ref.encode()).hexdigest()
+                n = 100 + int(hx[0:2], 16) % 100
+                seed = int(hx[2:4], 16)
+                samples = [
+                    ((37 * i + seed) % 20001) - 10000 for i in range(n)
+                ]
+                payload = encode_wav_pcm16(samples, 8000)
+                rows.append(
+                    (ref, "audio", payload, None, None, (n * 1000) // 8000)
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return _image_refs(docs).mapInPandas(batches, MEDIA_SCHEMA)
 
 
 def synthesize_png_media(docs: DataFrame) -> DataFrame:

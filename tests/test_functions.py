@@ -228,6 +228,137 @@ def test_multimodal_unsupported_format_is_structured(spark, docs_df):
         assert r.n_bytes > 0
 
 
+def test_png_gray_roundtrip_and_resize_exact():
+    """Pure-Python: encode → decode round-trips, and nearest-neighbor
+    resize produces exactly the (dst*src)//dst-mapped pixels."""
+    w, h = 6, 4
+    px = bytes((7 * x + 13 * y + 5) % 251 for y in range(h) for x in range(w))
+    png = mm.encode_png_gray(w, h, px)
+    assert mm.decode_png_gray(png) == (w, h, px)
+    nw, nh, out, ow, oh = mm.resize_png_nearest(png, 3)
+    assert (ow, oh, nw, nh) == (6, 4, 3, 2)
+    dec = mm.decode_png_gray(out)
+    assert dec[0] == 3 and dec[1] == 2
+    want = bytes(
+        px[((y * h) // nh) * w + (x * w) // nw]
+        for y in range(nh)
+        for x in range(nw)
+    )
+    assert dec[2] == want
+    # max_dim >= max(w, h): identity, never upscales
+    nw2, nh2, out2, _, _ = mm.resize_png_nearest(png, 100)
+    assert (nw2, nh2) == (6, 4) and mm.decode_png_gray(out2)[2] == px
+
+
+def test_png_decode_reconstructs_all_filters():
+    """decode_png_gray handles every standard scanline filter, so PNGs
+    from ANY conforming encoder (not just ours) decode correctly: each
+    row is forward-filtered with a different type, and decode must
+    recover the original pixels."""
+    import struct as st
+    import zlib as zl
+
+    w, h = 5, 5
+    px = [[(3 * x + 11 * y + 1) % 256 for x in range(w)] for y in range(h)]
+    raw = bytearray()
+    prev = [0] * w
+    for y, ft in enumerate([0, 1, 2, 3, 4]):
+        raw.append(ft)
+        for x in range(w):
+            left = px[y][x - 1] if x else 0
+            up = prev[x]
+            ul = prev[x - 1] if x else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = left
+            elif ft == 2:
+                pred = up
+            elif ft == 3:
+                pred = (left + up) >> 1
+            else:
+                pred = mm._paeth(left, up, ul)
+            raw.append((px[y][x] - pred) & 0xFF)
+        prev = px[y]
+    ihdr = st.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    png = (
+        mm.PNG_MAGIC
+        + mm._png_chunk(b"IHDR", ihdr)
+        + mm._png_chunk(b"IDAT", zl.compress(bytes(raw)))
+        + mm._png_chunk(b"IEND", b"")
+    )
+    got = mm.decode_png_gray(png)
+    assert got == (w, h, bytes(b for row in px for b in row))
+
+
+def test_resize_images_spark_roundtrip(spark, docs_df):
+    """Distributed resize: synthesized full-pixel PNGs → resize_images →
+    png_pixel_stats; dims and pixel sums must equal the arithmetic
+    nearest-neighbor recompute for every image."""
+    media = mm.synthesize_pixel_png_media(docs_df)
+    resized = mm.resize_images(media, max_dim=12)
+    stats = {r.media_ref: r for r in mm.png_pixel_stats(resized).collect()}
+    rows = resized.collect()
+    assert rows
+    for r in rows:
+        assert r.resize_status == "ok"
+        s = stats[r.media_ref]
+        assert s.pixel_status == "ok"
+        assert (s.width, s.height) == (r.width, r.height)
+        assert max(r.width, r.height) <= 12 or (
+            r.orig_width,
+            r.orig_height,
+        ) == (r.width, r.height)
+        import hashlib as hl
+
+        hx = hl.md5(r.media_ref.encode()).hexdigest()
+        w = 8 + int(hx[0:2], 16) % 24
+        h = 8 + int(hx[2:4], 16) % 24
+        seed = int(hx[4:6], 16)
+        assert (w, h) == (r.orig_width, r.orig_height)
+        want = sum(
+            (7 * ((x * w) // r.width) + 13 * ((y * h) // r.height) + seed)
+            % 251
+            for y in range(r.height)
+            for x in range(r.width)
+        )
+        assert s.pixel_sum == want
+
+
+def test_sample_frames_wav_decimation(spark):
+    """Frame sampling keeps exactly every Nth PCM frame and re-encodes a
+    decodable WAV at rate // N."""
+    samples = [((37 * i + 9) % 20001) - 10000 for i in range(101)]
+    payload = mm.encode_wav_pcm16(samples, 8000)
+    media = spark.createDataFrame(
+        [("wav-1", "audio", bytearray(payload), None, None, None)],
+        mm.MEDIA_SCHEMA,
+    )
+    out = mm.sample_frames(media, every_n=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.sample_status == "ok"
+    assert (r.orig_frames, r.frames, r.rate) == (101, 34, 2666)
+    rate, got = mm.decode_wav_pcm16(bytes(r.payload))
+    assert rate == 2666 and got == samples[::3]
+
+
+def test_resize_and_sample_unsupported_rows(spark, docs_df):
+    """Non-decodable payloads flow through both operators as structured
+    unsupported_format rows (quarantine philosophy)."""
+    media = mm.synthesize_media(spark, docs_df)  # utf-8 text payloads
+    for df, status_col in [
+        (mm.resize_images(media, 12), "resize_status"),
+        (mm.sample_frames(media, 4), "sample_status"),
+    ]:
+        rows = df.collect()
+        assert rows
+        assert all(
+            getattr(r, status_col) == "unsupported_format" for r in rows
+        )
+        assert all(r.payload is None for r in rows)
+
+
 def test_media_linking(spark, docs_df):
     from pdf_parser_spark.operators import pages as P
 
