@@ -43,9 +43,15 @@ def explode_spans(docs: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> Data
         F.col("span.media_ref").alias("media_ref"),
         F.col("span.offset").alias("offset"),
     )
+    return flat.withColumn("error_kind", error_kind_expr(cfg))
+
+
+def error_kind_expr(cfg: PipelineConfig = DEFAULT_CONFIG) -> F.Column:
+    """The span-validation when-chain over flat span columns — shared by
+    the batch explode path above and the streaming fragment-assembly
+    path (streaming/assembly.py), so both quarantine identically."""
     known = list(cfg.known_kinds)
-    return flat.withColumn(
-        "error_kind",
+    return (
         F.when(F.col("seq").isNull(), F.lit("empty_spans"))
         .when(~F.col("kind").isin(known), F.lit("unknown_kind"))
         .when(
@@ -56,7 +62,7 @@ def explode_spans(docs: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> Data
             F.col("text").isNotNull()
             & (F.length("text") > cfg.max_line_length),
             F.lit("oversize_text"),
-        ),
+        )
     )
 
 
