@@ -2046,6 +2046,92 @@ def sim_ann_bucketed(spark, sf_dir):
     )
 
 
+_IVF_SQL = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings),
+cents AS (
+  SELECT jj.j AS j,
+         list_transform(generate_series(0, 63), d ->
+           (16 * (strpos('0123456789abcdef',
+                  substr(md5('ivf:' || CAST(jj.j AS VARCHAR) || ':'
+                         || CAST(d AS VARCHAR)), 1, 1)) - 1)
+            + (strpos('0123456789abcdef',
+                  substr(md5('ivf:' || CAST(jj.j AS VARCHAR) || ':'
+                         || CAST(d AS VARCHAR)), 2, 1)) - 1))
+           / 127.5 - 1.0) AS c
+  FROM (SELECT unnest(generate_series(0, 7)) AS j) jj),
+dists AS (
+  SELECT e.vec_id, e.v, c.j,
+         -2.0 * list_dot_product(e.v, c.c)
+           + list_dot_product(c.c, c.c) AS dist
+  FROM e CROSS JOIN cents c),
+assign AS (
+  SELECT vec_id, v, j AS list_id FROM (
+    SELECT vec_id, v, j,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, j) AS rn
+    FROM dists) t WHERE rn = 1),
+q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+probes AS (
+  SELECT c.j FROM cents c, q
+  ORDER BY -2.0 * list_dot_product(q.qv, c.c)
+             + list_dot_product(c.c, c.c), c.j
+  LIMIT 3)
+SELECT a.vec_id AS id,
+       round(list_dot_product(a.v, q.qv)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(q.qv, q.qv))), 6) AS score
+FROM assign a, q
+WHERE a.list_id IN (SELECT j FROM probes)
+ORDER BY score DESC, id LIMIT 10
+"""
+
+
+def _emb_and_query(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    return emb, emb.filter(F.col("vec_id") == 0).head()["embedding"]
+
+
+@q("sim_ivf_topk", _IVF_SQL)
+def sim_ivf_topk(spark, sf_dir):
+    """IVF (inverted-file) ANN top-k — the nearest-centroid counterpart
+    of the hyperplane-LSH sim_ann_topk.  Seeded md5-derived centroids
+    (8 lists over the 64-dim embeddings; component = byte/127.5 - 1,
+    exactly replayable in SQL), rank-equivalent assignment metric
+    -2·dot(v,c) + dot(c,c), 3-list probe.  The oracle recomputes
+    centroids, per-row argmin assignment (row_number tie-broken on list
+    id, matching array_position's first-minimum), the probe list, and
+    the pruned cosine top-k.  Lloyd-trained centroids ride the same
+    operators (similarity.train_centroids; unit-tested) — the seeded
+    family is used here so the oracle stays closed-form."""
+    emb, qvec = _emb_and_query(spark, sf_dir)
+    cents = sim.seed_centroids(64, 8)
+    return sim.ivf_topk(emb, qvec, cents, k=10, n_probe=3)
+
+
+@q("sim_ivf_partitioned", _IVF_SQL)
+def sim_ivf_partitioned(spark, sf_dir):
+    """IVF top-k through the PHYSICAL list-partitioned layout
+    (similarity.write_ivf / ivf_topk_partitioned): identical result —
+    same oracle — but the probe IN-list prunes the scan to 3/8
+    partition directories (plan-asserted in tests/test_plans.py)."""
+    import re as _re
+
+    emb, qvec = _emb_and_query(spark, sf_dir)
+    cents = sim.seed_centroids(64, 8)
+    tag = _re.sub(r"[^A-Za-z0-9]", "_", sf_dir)
+    path = f"/tmp/pdf_parser_spark_ivf{tag}"
+    sim.write_ivf(emb, path, cents)
+    return sim.ivf_topk_partitioned(
+        spark, path, qvec, cents, k=10, n_probe=3
+    )
+
+
 @q(
     "u2_sequence_explode",
     """SELECT n_pages, count(*) AS n_orders FROM (

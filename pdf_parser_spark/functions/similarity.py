@@ -2,9 +2,12 @@
 
 - brute-force cosine top-k — the correctness baseline (native
   ``zip_with`` + ``aggregate``; no Python in the loop)
-- LSH-bucketed ANN        — the scale path: random-hyperplane sign bits
+- LSH-bucketed ANN        — a scale path: random-hyperplane sign bits
   derived deterministically from md5 (portable, seedable), bucket join
   instead of all-pairs scan.
+- IVF ANN                 — the other classic scale path: nearest-centroid
+  inverted lists (seeded deterministic centroids + distributed Lloyd
+  refinement), physically partitioned by list id, probe-pruned reads.
 
 At 100 TB the brute-force path is a full scan per query — fine for batch
 re-ranking, wrong for online lookup; the LSH variant prunes to one bucket
@@ -193,6 +196,160 @@ def ann_topk_bucketed(
     probes = probe_buckets(query_vec, n_bits, radius)
     scanned = spark.read.parquet(path).filter(
         F.col("bucket").isin(probes)
+    )
+    return cosine_topk(scanned, query_vec, k, id_col, vec_col)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the OTHER classic scale path beside
+# hyperplane LSH: partition the space by nearest-centroid lists, store
+# vectors physically by list, probe only the query's nearest lists.
+# Centroid seeding is md5-derived (portable to the SQL oracle, same
+# device as _plane); Lloyd refinement is a distributed avg per
+# (list, dimension) — a handful of tiny driver-coordinated iterations.
+# ---------------------------------------------------------------------------
+
+
+def seed_centroids(dim: int, n_lists: int) -> list:
+    """Deterministic pseudo-random centroids: component (j, d) maps the
+    md5 byte of ``ivf:{j}:{d}`` onto [-1, 1] (byte/127.5 - 1) — exactly
+    replayable in SQL, so seeded-IVF assignment is oracle-verifiable."""
+    import hashlib
+
+    cents = []
+    for j in range(n_lists):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"ivf:{j}:{d}".encode()).hexdigest()
+            row.append(int(h[:2], 16) / 127.5 - 1.0)
+        cents.append(row)
+    return cents
+
+
+def _cent_dist(vec: Column, cent: list) -> Column:
+    """Rank-equivalent squared L2 distance to a constant centroid:
+    ``-2*dot(v, c) + dot(c, c)`` (the per-row ``dot(v, v)`` term is
+    constant across centroids, so it never affects the argmin).  The
+    dot-product formulation keeps Spark, driver Python, and the DuckDB
+    oracle summing the same terms left-to-right."""
+    c = F.array(*[F.lit(float(x)) for x in cent])
+    c2 = sum(float(x) * float(x) for x in cent)
+    return F.lit(-2.0) * dot(vec, c) + F.lit(c2)
+
+
+def ivf_assign(vec: Column, centroids: list) -> Column:
+    """Nearest-centroid list id (first minimal index on ties)."""
+    dists = F.array(*[_cent_dist(vec, c) for c in centroids])
+    return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+
+def _py_dist(query_vec: list, cent: list) -> float:
+    return -2.0 * sum(
+        float(x) * float(c) for x, c in zip(query_vec, cent)
+    ) + sum(float(c) * float(c) for c in cent)
+
+
+def query_probe_lists(
+    query_vec: list, centroids: list, n_probe: int
+) -> list:
+    """Driver-side probe set: the ``n_probe`` nearest centroid lists to
+    the query (ties broken on list id), sorted — the partition-pruning
+    IN-list of the IVF layout."""
+    order = sorted(
+        range(len(centroids)),
+        key=lambda j: (_py_dist(query_vec, centroids[j]), j),
+    )
+    return sorted(order[:n_probe])
+
+
+def train_centroids(
+    embeddings: DataFrame,
+    dim: int,
+    n_lists: int,
+    n_iters: int = 3,
+    vec_col: str = "embedding",
+) -> list:
+    """Distributed Lloyd refinement of the seeded centroids: per
+    iteration, one assignment pass (native argmin projection) and one
+    ``(list_id, dimension)`` avg aggregation — the only shuffle — then
+    the ``n_lists × dim`` means (tiny) collect to the driver as the next
+    round's literals.  Empty lists keep their previous centroid.
+    Deterministic: seeded init + fixed iteration count, no RNG."""
+    cents = seed_centroids(dim, n_lists)
+    for _ in range(n_iters):
+        assigned = embeddings.select(
+            ivf_assign(F.col(vec_col), cents).alias("list_id"),
+            F.posexplode(vec_col).alias("d", "x"),
+        )
+        means = (
+            assigned.groupBy("list_id", "d")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = [list(c) for c in cents]
+        for r in means:
+            new[r.list_id][r.d] = float(r.m)
+        cents = new
+    return cents
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list,
+    centroids: list,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF cosine top-k over an in-memory DataFrame (semantic
+    definition — assignment computed per row; the scale path is
+    ``write_ivf`` + ``ivf_topk_partitioned``)."""
+    probes = query_probe_lists(query_vec, centroids, n_probe)
+    pruned = embeddings.filter(
+        ivf_assign(F.col(vec_col), centroids).isin(probes)
+    )
+    return cosine_topk(pruned, query_vec, k, id_col, vec_col)
+
+
+def write_ivf(
+    embeddings: DataFrame,
+    path: str,
+    centroids: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """One-time physical IVF layout: the table partitioned by
+    ``list_id`` (nearest centroid).  Same 100-TB shape as
+    ``write_bucketed``: assignment is a pure projection over the ingest
+    scan, run once; queries read only their probe lists via partition
+    pruning (``n_probe`` of ``n_lists`` directories).  Parquet
+    ``partitionBy`` ≙ Iceberg identity-partitioning on ``list_id``."""
+    out = embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        ivf_assign(F.col(vec_col), centroids).alias("list_id"),
+    )
+    out.write.mode("overwrite").partitionBy("list_id").parquet(path)
+
+
+def ivf_topk_partitioned(
+    spark,
+    path: str,
+    query_vec: list,
+    centroids: list,
+    k: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k against a ``write_ivf`` layout: the probe IN-list lands
+    in the scan's ``PartitionFilters`` (plan-asserted), so only probe
+    lists are listed and read.  Identical results to ``ivf_topk`` with
+    the same centroids."""
+    probes = query_probe_lists(query_vec, centroids, n_probe)
+    scanned = spark.read.parquet(path).filter(
+        F.col("list_id").isin(probes)
     )
     return cosine_topk(scanned, query_vec, k, id_col, vec_col)
 

@@ -579,3 +579,76 @@ def test_simhash_block_split_covers_all_bits(spark):
         acc |= v << lo
         lo += w
     assert acc == row.fp
+
+
+def _ivf_fixture(spark, n=80, dim=16, seed=7):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    vecs = rng.normal(size=(n, dim)).astype("float64")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        ["vec_id", "embedding"],
+    )
+    return df, vecs
+
+
+def test_ivf_full_probe_equals_brute(spark):
+    """Probing every list must reproduce brute-force exactly, with both
+    seeded and Lloyd-trained centroids — pruning is the only
+    approximation in IVF."""
+    df, vecs = _ivf_fixture(spark)
+    q = [float(x) for x in vecs[3]]
+    brute = [(r.id, r.score) for r in sim.cosine_topk(df, q, k=8).collect()]
+    for cents in (
+        sim.seed_centroids(16, 4),
+        sim.train_centroids(df, 16, 4, n_iters=2),
+    ):
+        got = [
+            (r.id, r.score)
+            for r in sim.ivf_topk(df, q, cents, k=8, n_probe=4).collect()
+        ]
+        assert got == brute
+
+
+def test_ivf_training_reduces_objective(spark):
+    """Lloyd refinement must not worsen the clustering objective
+    (sum over rows of distance-to-assigned-centroid; the per-row
+    ``dot(v, v)`` constant cancels in the comparison)."""
+    df, _ = _ivf_fixture(spark, n=120)
+
+    def objective(cents):
+        dists = F.array(
+            *[sim._cent_dist(F.col("embedding"), c) for c in cents]
+        )
+        return df.select(
+            F.sum(F.array_min(dists)).alias("o")
+        ).head().o
+
+    seeded = sim.seed_centroids(16, 4)
+    trained = sim.train_centroids(df, 16, 4, n_iters=3)
+    assert objective(trained) <= objective(seeded) + 1e-9
+
+
+def test_ivf_partitioned_equals_memory_and_finds_self(spark, tmp_path):
+    """The physical layout must return exactly what the in-memory
+    definition returns, and the query vector itself (same list by
+    construction) is found even at n_probe=1."""
+    df, vecs = _ivf_fixture(spark, n=100)
+    cents = sim.train_centroids(df, 16, 5, n_iters=2)
+    q = [float(x) for x in vecs[11]]
+    path = str(tmp_path / "emb_ivf")
+    sim.write_ivf(df, path, cents)
+    mem = [
+        (r.id, r.score)
+        for r in sim.ivf_topk(df, q, cents, k=6, n_probe=2).collect()
+    ]
+    part = [
+        (r.id, r.score)
+        for r in sim.ivf_topk_partitioned(
+            spark, path, q, cents, k=6, n_probe=2
+        ).collect()
+    ]
+    assert part == mem
+    top1 = sim.ivf_topk(df, q, cents, k=1, n_probe=1).head()
+    assert top1.id == 11 and abs(top1.score - 1.0) < 1e-9

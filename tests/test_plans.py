@@ -132,3 +132,31 @@ def test_ann_bucketed_scan_prunes_partitions(spark, tmp_path):
     assert "bucket" in pf and "IN" in pf.upper()
     # ... and the probe set is the expected 1 + n_bits buckets
     assert len(sim.probe_buckets(q, n_bits=4, radius=1)) == 5
+
+
+def test_ivf_partitioned_scan_prunes_partitions(spark, tmp_path):
+    """Same pruning contract as the LSH bucket layout: the IVF probe
+    IN-list must be a PartitionFilter on the scan (only probe-list
+    directories are listed/read), not a post-scan Filter."""
+    import re
+
+    import numpy as np
+
+    from pdf_parser_spark.functions import similarity as sim
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(64, 16)).astype("float64")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(64)],
+        ["vec_id", "embedding"],
+    )
+    cents = sim.seed_centroids(16, 8)
+    path = str(tmp_path / "emb_ivf")
+    sim.write_ivf(df, path, cents)
+    q = [float(x) for x in vecs[0]]
+    out = sim.ivf_topk_partitioned(spark, path, q, cents, k=5, n_probe=2)
+    plan = _plan(out)
+    assert "PartitionFilters" in plan
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan).group(1)
+    assert "list_id" in pf and "IN" in pf.upper()
+    assert len(sim.query_probe_lists(q, cents, 2)) == 2
