@@ -1,0 +1,106 @@
+"""spark-submit entry point for the extraction engine.
+
+The north rule runs the job "via spark-submit --py-files on a
+multi-executor cluster"; this file is that driver script.  Cluster use:
+
+    zip -r pdf_parser_spark.zip pdf_parser_spark
+    spark-submit --py-files pdf_parser_spark.zip \\
+        pdf_parser_spark/__main__.py \\
+        --mode pipeline --input s3://.../documents --output s3://.../out
+
+Local use is identical minus --py-files (``python -m pdf_parser_spark
+...`` also works).  Master/executor topology comes from spark-submit
+conf — this script never sets a master unless --master is given, so the
+same file runs unchanged on local[N], YARN, or K8s at N and 4N
+executors (the scaling criterion's two cluster sizes).
+
+Modes:
+- ``pipeline``  one-shot batch: full 5-stage extraction, parquet outputs
+  (spans_out, quarantine, pages, metadata, toc, sections, metrics).
+- ``resume``    lineage-bucketed batch: per-partition progress recorded
+  in a lineage table; re-invoking after a kill processes ONLY pending
+  buckets (streaming/lineage.py).
+- ``ingest``    incremental arrival: AvailableNow file-discovery stream,
+  exactly-once per-batch partition overwrite (streaming/ingest.py).
+- ``assembly``  fragment streams: applyInPandasWithState per-doc
+  reassembly of spans that arrive split across micro-batches
+  (streaming/assembly.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="pdf_parser_spark")
+    p.add_argument("--mode", required=True,
+                   choices=["pipeline", "resume", "ingest", "assembly"])
+    p.add_argument("--input", required=True,
+                   help="documents (or fragments) parquet/Iceberg path")
+    p.add_argument("--output", required=True, help="output directory")
+    p.add_argument("--checkpoint",
+                   help="checkpoint/lineage dir (resume/ingest/assembly)")
+    p.add_argument("--run-id", default="run-0", help="resume-mode run id")
+    p.add_argument("--master",
+                   help="override master (normally left to spark-submit)")
+    p.add_argument("--shuffle-partitions", type=int, default=None)
+    return p
+
+
+def main(argv=None, spark=None) -> dict:
+    """Returns a small summary dict (row counts) for logs/tests."""
+    args = build_parser().parse_args(argv)
+    if spark is None:
+        from pdf_parser_spark.session import get_spark
+
+        spark = get_spark(
+            app_name=f"pdf_parser_spark-{args.mode}",
+            master=args.master,
+            shuffle_partitions=args.shuffle_partitions,
+        )
+
+    if args.mode == "pipeline":
+        from pdf_parser_spark import pipeline as P
+
+        res = P.run_pipeline(P.read_documents(spark, args.input))
+        counts = {}
+        for name in ("spans_out", "quarantine", "pages", "metadata",
+                     "toc", "sections", "metrics"):
+            df = getattr(res, name)
+            df.write.mode("overwrite").parquet(f"{args.output}/{name}")
+            counts[name] = spark.read.parquet(
+                f"{args.output}/{name}"
+            ).count()
+        res.unpersist()
+        return counts
+
+    if args.mode == "resume":
+        from pdf_parser_spark import pipeline as P
+        from pdf_parser_spark.streaming import lineage as L
+
+        return L.run_resumable(
+            spark, P.read_documents(spark, args.input), args.output,
+            run_id=args.run_id,
+        )
+
+    ckpt = args.checkpoint or f"{args.output}/_checkpoint"
+    if args.mode == "ingest":
+        from pdf_parser_spark.streaming import ingest as I
+
+        I.run_available_now(
+            spark, args.input, f"{args.output}/spans_out", ckpt
+        )
+        return {"mode": "ingest", "out": f"{args.output}/spans_out"}
+
+    from pdf_parser_spark.streaming import assembly as A
+
+    A.run_fragment_assembly(
+        spark, args.input, f"{args.output}/spans_out",
+        f"{args.output}/quarantine", ckpt,
+    )
+    return {"mode": "assembly", "out": f"{args.output}/spans_out"}
+
+
+if __name__ == "__main__":
+    print(main())

@@ -141,7 +141,9 @@ def toc_line_features(lines: pd.Series) -> pd.DataFrame:
     base = stripped.str.len().between(5, 200) & (nw >= 2)
     last = pd.Series(None, index=n, dtype="object")
     last[base] = words[base].str[-1]
-    is_int = base & last.str.isdigit().fillna(False)
+    is_int = base & (last.str.isdigit() == True)  # noqa: E712 — object
+    # series with Nones: == True maps None→False without the deprecated
+    # fillna object-downcast
     pg = pd.to_numeric(last.where(is_int), errors="coerce")
     is_int &= pg.between(1, 9999)
     title = pd.Series(None, index=n, dtype="object")
@@ -150,7 +152,7 @@ def toc_line_features(lines: pd.Series) -> pd.DataFrame:
         is_int
         & title.notna()
         & (title != "")
-        & ~title.str.isdigit().fillna(False)
+        & ~(title.str.isdigit() == True)  # noqa: E712 — see above
     )
     conf = pd.Series(None, index=n, dtype="object")
     hit_idx = ok[ok].index
