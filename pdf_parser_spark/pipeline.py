@@ -54,8 +54,12 @@ class PipelineResult:
 
 def read_documents(spark: SparkSession, path: str) -> DataFrame:
     """Read the interleaved-spans input table (BASELINE.json input_hint
-    shape) with the schema pinned — no inference pass."""
-    return spark.read.schema(DOCUMENTS_SPANS).parquet(path)
+    shape): ``iceberg:<catalog.db.table>`` refs go through the Iceberg
+    catalog (sources/tables.py gate), parquet paths read with the schema
+    pinned — no inference pass."""
+    from pdf_parser_spark.sources.tables import read_table
+
+    return read_table(spark, path, schema=DOCUMENTS_SPANS)
 
 
 def run_pipeline(

@@ -73,3 +73,40 @@ def test_write_report(spark):
         assert Path(out).exists()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_table_ref_parquet_roundtrip(spark, tmp_path):
+    from pdf_parser_spark.sources import tables as T
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "a")], ["id", "grp"]
+    )
+    path = str(tmp_path / "t")
+    T.write_table(df, path, partition_by=("grp",))
+    back = T.read_table(spark, path)
+    assert sorted((r.id, r.grp) for r in back.collect()) == [
+        (1, "a"), (2, "b"), (3, "a")
+    ]
+    # partitionBy materialized as directories (≙ identity partitioning)
+    import os
+
+    assert any(d.startswith("grp=") for d in os.listdir(path))
+
+
+def test_iceberg_ref_requires_runtime(spark):
+    """An explicit iceberg: ref must fail loudly when the runtime lacks
+    the catalog plugin — never silently fall back to parquet."""
+    import pytest
+
+    from pdf_parser_spark.sources import tables as T
+
+    assert T.is_iceberg_ref("iceberg:cat.db.docs")
+    assert not T.is_iceberg_ref("/data/docs")
+    if T.iceberg_available(spark):
+        pytest.skip("iceberg runtime present in this env")
+    with pytest.raises(RuntimeError, match="Iceberg runtime"):
+        T.read_table(spark, "iceberg:cat.db.docs")
+    with pytest.raises(RuntimeError, match="Iceberg runtime"):
+        T.write_table(
+            spark.range(1), "iceberg:cat.db.out", mode="append"
+        )
