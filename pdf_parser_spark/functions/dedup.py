@@ -26,6 +26,8 @@ from typing import Callable, Optional
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from pdf_parser_spark.operators.exprs import let_bound
+
 Materializer = Callable[[DataFrame], DataFrame]
 
 
@@ -75,14 +77,22 @@ def exact_duplicates(
 
 def shingles(text: Column, k: int = 3) -> Column:
     """k-word shingles over whitespace-normalized words (array<string>).
-    Docs with < k words yield their full word-join as one shingle."""
-    ws = F.split(normalized_text(text), " ")
-    n = F.size(ws)
-    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
-    return F.transform(
-        idx,
-        lambda i: F.array_join(F.slice(ws, i, k), " "),
-    )
+    Docs with < k words yield their full word-join as one shingle.
+
+    The word array is let-bound (``let_bound``) so the normalize+split
+    runs ONCE per row: referencing it directly from the per-position
+    lambda re-evaluates the regex split per shingle (177 s → 9 s on the
+    local[2]/10k heavy-doc A/B — see exprs.let_bound)."""
+
+    def build(ws: Column) -> Column:
+        n = F.size(ws)
+        idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+        return F.transform(
+            idx,
+            lambda i: F.array_join(F.slice(ws, i, k), " "),
+        )
+
+    return let_bound(F.split(normalized_text(text), " "), build)
 
 
 def minhash_signature(text: Column, n_hashes: int = 4, k: int = 3) -> Column:
@@ -241,34 +251,40 @@ def simhash32(text: Column, k: int = 1) -> Column:
     """32-bit SimHash: per shingle take md5's first 8 hex chars as a 32-bit
     int; bit b of the output is 1 iff more shingle-hashes have bit b set
     than unset.  Pure expression (sequence over 32 bit positions)."""
-    sh = F.array_distinct(shingles(text, k))
-    hashes = F.transform(
-        sh, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
-    )
-    n = F.size(sh)
-    bits = F.sequence(F.lit(0), F.lit(31))
-
     def bit_of(h, b):
         # shiftright/shiftleft take only literal shift amounts, so extract
         # bit b arithmetically: floor(h / 2^b) mod 2 (exact: h < 2^32)
         return F.floor(h / F.pow(F.lit(2.0), b)).cast("long") % 2
 
-    bit_vals = F.transform(
-        bits,
-        lambda b: F.when(
-            F.aggregate(
-                hashes,
-                F.lit(0).cast("long"),
-                lambda acc, h: acc + bit_of(h, b),
-            )
-            * 2
-            > n,
-            F.pow(F.lit(2.0), b).cast("long"),
-        ).otherwise(F.lit(0).cast("long")),
+    def fold_bits(hashes: Column) -> Column:
+        # ``hashes`` is a lambda variable (let_bound below): the per-bit
+        # lambda references it 32×, each a variable lookup.  Referencing
+        # the transform EXPRESSION here instead re-ran the whole
+        # md5-per-shingle pass once per bit (32× — see exprs.let_bound).
+        n = F.size(hashes)
+        bits = F.sequence(F.lit(0), F.lit(31))
+        bit_vals = F.transform(
+            bits,
+            lambda b: F.when(
+                F.aggregate(
+                    hashes,
+                    F.lit(0).cast("long"),
+                    lambda acc, h: acc + bit_of(h, b),
+                )
+                * 2
+                > n,
+                F.pow(F.lit(2.0), b).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        return F.aggregate(
+            bit_vals, F.lit(0).cast("long"), lambda acc, v: acc + v
+        )
+
+    sh = F.array_distinct(shingles(text, k))
+    hashes = F.transform(
+        sh, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
     )
-    return F.aggregate(
-        bit_vals, F.lit(0).cast("long"), lambda acc, v: acc + v
-    )
+    return let_bound(hashes, fold_bits)
 
 
 def simhash_block_values(

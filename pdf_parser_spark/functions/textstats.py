@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from pdf_parser_spark.operators.exprs import let_bound
+
 # A small stopword table per language for the n-gram/stopword language-ID
 # heuristic.  Deliberately tiny and deterministic — the goal is the Spark
 # expression shape (score per language → argmax), not linguistic accuracy.
@@ -66,12 +68,25 @@ def lang_id(text: Column) -> Column:
         ]
     )
     # max of struct(score, lang) picks highest score; ties pick the
-    # lexicographically LARGEST lang, so invert: sort desc by (score,-lang)
-    # via array_sort comparator: smallest first → take last... simpler:
-    # filter to max score, take first lang in sorted order.
-    best = F.array_max(F.transform(pairs, lambda p: p["score"]))
-    first_best = F.filter(pairs, lambda p: p["score"] == best)[0]["lang"]
-    return F.when(best > 0, first_best).otherwise(F.lit("unknown"))
+    # lexicographically LARGEST lang, so invert: filter to max score,
+    # take first lang in sorted order.  Both pairs (the per-language
+    # regexp_count battery) and best are let-bound: referencing the
+    # `best` EXPRESSION from the filter lambda re-ran every language's
+    # regexp_count once per language element (see exprs.let_bound).
+    def pick(bound_pairs: Column) -> Column:
+        best_expr = F.array_max(
+            F.transform(bound_pairs, lambda p: p["score"])
+        )
+
+        def choose(best: Column) -> Column:
+            first_best = F.filter(
+                bound_pairs, lambda p: p["score"] == best
+            )[0]["lang"]
+            return F.when(best > 0, first_best).otherwise(F.lit("unknown"))
+
+        return let_bound(best_expr, choose)
+
+    return let_bound(pairs, pick)
 
 
 def quality_score(text: Column) -> Column:

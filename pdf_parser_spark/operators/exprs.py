@@ -39,6 +39,35 @@ def is_blank(col: Column) -> Column:
     return py_strip(F.coalesce(col, F.lit(""))) == ""
 
 
+def let_bound(value: Column, body) -> Column:
+    """Let-binding for Column expressions: evaluate ``value`` ONCE per
+    row, pass it to ``body`` as a lambda variable.
+
+    Higher-order-function lambdas are interpreted with NO common-
+    subexpression elimination: an outer expression referenced inside a
+    lambda is RE-EVALUATED FOR EVERY ELEMENT.  A regex-split referenced
+    by a per-shingle lambda turned a 9 s minhash stage into 177 s
+    (measured local[2]/10k heavy docs) because the split re-ran per
+    shingle.  Wrapping the value in a one-element array and transforming
+    over it binds it to a NamedLambdaVariable — a per-element variable
+    lookup instead of a subtree re-eval.
+    """
+    return F.transform(F.array(value), body)[0]
+
+
+def non_blank(col: Column) -> Column:
+    """``bool((s or '').strip())`` as a containment test.
+
+    Equivalent to ``py_strip(x) != ''`` — a string strips to non-empty
+    iff it contains any non-whitespace char — but ~3× cheaper on the hot
+    path: ``rlike`` can bail at the first non-ws char (usually position
+    0) instead of regex-REPLACING both ends and allocating the stripped
+    string just to test emptiness.  NULL input yields NULL (filter-false),
+    matching the coalesced-`is_blank` convention when used on coalesced
+    text."""
+    return col.rlike("[^" + _WS[1:])
+
+
 def strip_s(col: Column) -> Column:
     """strip() of coalesced text (never null)."""
     return py_strip(F.coalesce(col, F.lit("")))

@@ -22,7 +22,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from pdf_parser_spark.config import DEFAULT_CONFIG, PipelineConfig
-from pdf_parser_spark.operators.exprs import is_blank, py_strip, strip_s
+from pdf_parser_spark.operators.exprs import (
+    is_blank,
+    non_blank,
+    strip_s,
+)
 
 TEXTISH = ("text", "heading")
 IMAGEISH = ("image", "figure")
@@ -194,14 +198,31 @@ def span_sequence_df(valid: DataFrame) -> DataFrame:
     )
 
 
-def _sorted_structs(cond: F.Column, *fields: str) -> F.Column:
-    """collect_list(when(cond, struct(offset, seq, ...))) — nulls dropped
-    by collect_list, then array_sort orders by (offset, seq)."""
-    return F.array_sort(
-        F.collect_list(
-            F.when(cond, F.struct(F.col("offset"), F.col("seq"),
-                                  *[F.col(f) for f in fields]))
-        )
+def _joined_family(col: str) -> F.Column:
+    """array_join of a family's pre-formatted strings in (offset, seq)
+    order: collect_list drops the NULLs of non-member rows, array_sort
+    orders the (offset, seq, s) structs by their leading fields (seq is
+    unique per doc so later fields never tie-break), the transform only
+    extracts the payload.  All expensive string work (format_string,
+    strip tests) happens BEFORE the groupBy in the codegen'd row
+    projection — higher-order-function lambdas are interpreted per
+    element, so formatting inside the transform cost ~2× the whole
+    assembly stage (measured local[2]/40k: 30-34s → 18-19s, the scan
+    floor)."""
+    return F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col(col).isNotNull(),
+                        F.struct(F.col("offset"), F.col("seq"),
+                                 F.col(col).alias("s")),
+                    )
+                )
+            ),
+            lambda s: s["s"],
+        ),
+        "\n",
     )
 
 
@@ -223,73 +244,67 @@ def pages_df(valid: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFram
     is_annot = F.col("kind") == "annotation"
     txt = F.coalesce(F.col("text"), F.lit(""))
 
-    grouped = content_spans.groupBy("doc_id", "page").agg(
-        # text blob: text/heading span texts joined in (offset, seq) order
-        F.array_join(
-            F.transform(
-                _sorted_structs(is_textish, "text"),
-                lambda s: F.coalesce(s["text"], F.lit("")),
-            ),
-            "\n",
-        ).alias("text"),
+    # Per-family formatted string, computed ROW-SIDE (whole-stage
+    # codegen) — NULL for rows outside the family, so collect_list in
+    # _joined_family drops them.  See _joined_family for why formatting
+    # must not live inside the post-agg transform.
+    pre = content_spans.select(
+        "doc_id", "page", "offset", "seq", "kind",
+        # text blob: text/heading span texts joined in (offset, seq)
+        # order; null text → "" (reference joins raw .text values)
+        F.when(is_textish, txt).alias("f_text"),
         # tables: 'Table {id}:\n{repr}' for truthy reprs (empty-string
         # dropped, whitespace kept — reference truthiness gate)
-        F.array_join(
-            F.transform(
-                _sorted_structs(is_table & (txt != ""), "table_id", "text"),
-                lambda s: F.format_string(
-                    "Table %d:\n%s", s["table_id"], s["text"]
-                ),
-            ),
-            "\n",
-        ).alias("table_content"),
-        F.count(F.when(is_table, 1)).alias("n_tables"),
+        F.when(
+            is_table & (txt != ""),
+            F.format_string("Table %d:\n%s", F.col("table_id"),
+                            F.col("text")),
+        ).alias("f_table"),
         # images: always summarized
-        F.array_join(
-            F.transform(
-                _sorted_structs(is_image, "image_id", "media_ref", "text"),
-                lambda s: F.format_string(
-                    "Image %d: %s (%s)",
-                    s["image_id"],
-                    F.coalesce(s["media_ref"], F.lit("unnamed")),
-                    F.coalesce(F.nullif(strip_s(s["text"]), F.lit("")),
-                               F.lit("0x0")),
-                ),
+        F.when(
+            is_image,
+            F.format_string(
+                "Image %d: %s (%s)",
+                F.col("image_id"),
+                F.coalesce(F.col("media_ref"), F.lit("unnamed")),
+                F.coalesce(F.nullif(strip_s(F.col("text")), F.lit("")),
+                           F.lit("0x0")),
             ),
-            "\n",
-        ).alias("image_content"),
-        F.count(F.when(is_image, 1)).alias("n_images"),
+        ).alias("f_image"),
         # layout: non-blank lines only
-        F.array_join(
-            F.transform(
-                _sorted_structs(is_layout & (py_strip(txt) != ""), "text"),
-                lambda s: s["text"],
-            ),
-            "\n",
-        ).alias("layout_content"),
-        F.count(F.when(is_layout, 1)).alias("n_layout"),
+        F.when(is_layout & non_blank(txt), F.col("text")).alias("f_layout"),
         # annotations: non-blank contents only
-        F.array_join(
-            F.transform(
-                _sorted_structs(is_annot & (py_strip(txt) != ""),
-                                "media_ref", "text"),
-                lambda s: F.format_string(
-                    "Annotation (%s): %s",
-                    F.coalesce(s["media_ref"], F.lit("unknown")),
-                    F.coalesce(s["text"], F.lit("")),
-                ),
+        F.when(
+            is_annot & non_blank(txt),
+            F.format_string(
+                "Annotation (%s): %s",
+                F.coalesce(F.col("media_ref"), F.lit("unknown")),
+                txt,
             ),
-            "\n",
-        ).alias("annot_content"),
-        F.count(F.when(is_annot, 1)).alias("n_annots"),
+        ).alias("f_annot"),
+        is_table.cast("long").alias("w_is_table"),
+        is_image.cast("long").alias("w_is_image"),
+        is_layout.cast("long").alias("w_is_layout"),
+        is_annot.cast("long").alias("w_is_annot"),
         # raw content lengths for the quality metrics (A4,
-        # coverage_calculator.py:140-214): table reprs + annotation contents
-        F.sum(F.when(is_table, F.length(txt)).otherwise(0)).alias(
-            "table_text_len"
-        ),
-        F.sum(F.when(is_annot, F.length(txt)).otherwise(0)).alias(
-            "annot_text_len"
-        ),
+        # coverage_calculator.py:140-214): table reprs + annotation
+        # contents
+        F.when(is_table, F.length(txt)).otherwise(0).alias("w_table_len"),
+        F.when(is_annot, F.length(txt)).otherwise(0).alias("w_annot_len"),
+    )
+
+    grouped = pre.groupBy("doc_id", "page").agg(
+        _joined_family("f_text").alias("text"),
+        _joined_family("f_table").alias("table_content"),
+        F.sum("w_is_table").alias("n_tables"),
+        _joined_family("f_image").alias("image_content"),
+        F.sum("w_is_image").alias("n_images"),
+        _joined_family("f_layout").alias("layout_content"),
+        F.sum("w_is_layout").alias("n_layout"),
+        _joined_family("f_annot").alias("annot_content"),
+        F.sum("w_is_annot").alias("n_annots"),
+        F.sum("w_table_len").alias("table_text_len"),
+        F.sum("w_annot_len").alias("annot_text_len"),
     )
 
     # page skeleton 1..total_pages per doc (empty pages exist)
@@ -322,11 +337,11 @@ def pages_df(valid: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFram
 
     parts = F.array(
         F.when(
-            py_strip(F.col("text")) != "",
+            non_blank(F.col("text")),
             F.concat(F.lit("=== TEXT CONTENT ===\n"), F.col("text")),
         ),
         F.when(
-            (F.col("n_tables") > 0) & (py_strip(F.col("table_content")) != ""),
+            (F.col("n_tables") > 0) & non_blank(F.col("table_content")),
             F.concat(F.lit("=== TABLES ===\n"), F.col("table_content")),
         ),
         F.when(
@@ -334,11 +349,11 @@ def pages_df(valid: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFram
             F.concat(F.lit("=== IMAGES ===\n"), F.col("image_content")),
         ),
         F.when(
-            (F.col("n_layout") > 0) & (py_strip(F.col("layout_content")) != ""),
+            (F.col("n_layout") > 0) & non_blank(F.col("layout_content")),
             F.concat(F.lit("=== LAYOUT TEXT ===\n"), F.col("layout_content")),
         ),
         F.when(
-            (F.col("n_annots") > 0) & (py_strip(F.col("annot_content")) != ""),
+            (F.col("n_annots") > 0) & non_blank(F.col("annot_content")),
             F.concat(F.lit("=== ANNOTATIONS ===\n"), F.col("annot_content")),
         ),
     )
