@@ -24,7 +24,7 @@ from typing import Callable, List
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from pdf_parser_spark.operators.exprs import py_strip
+from pdf_parser_spark.operators.exprs import let_bound, py_strip
 
 Builder = Callable[[Column], Column]
 
@@ -124,12 +124,21 @@ def detect_heading_expr(
     """HeadingDetector.detect_heading (heading_strategies.py:219-255):
     stripped line when any strategy's confidence > 0, else NULL."""
     registry = registry or DEFAULT_REGISTRY
-    clean = py_strip(F.coalesce(line, F.lit("")))
-    best = F.lit(0.0)
-    for s in registry.strategies:
-        c = s.builder(clean)
-        best = F.when(c > best, c).otherwise(best)
-    return F.when(best > 0, clean)
+
+    def detect(clean: Column) -> Column:
+        # greatest() evaluates each builder ONCE.  The previous chained
+        # `best = when(c > best, c).otherwise(best)` duplicated every
+        # prior builder subtree twice per step (builder i appeared
+        # 2^(n-i) times in the final tree), and `clean` — a regex strip
+        # — was re-evaluated at every one of those occurrences; this
+        # expression runs inside the per-line fold of first_heading, so
+        # the blowup was per line.  let_bound pins `clean` to one eval.
+        best = F.greatest(
+            *[s.builder(clean) for s in registry.strategies], F.lit(0.0)
+        )
+        return F.when(best > 0, clean)
+
+    return let_bound(py_strip(F.coalesce(line, F.lit(""))), detect)
 
 
 def best_strategy_expr(
@@ -139,15 +148,32 @@ def best_strategy_expr(
     HeadingDetector.get_strategy_stats, heading_strategies.py:236-243):
     NULL when nothing matches."""
     registry = registry or DEFAULT_REGISTRY
-    clean = py_strip(F.coalesce(line, F.lit("")))
     strategies = registry.strategies
-    best = strategies[0].builder(clean)
-    name = F.when(best > 0, F.lit(strategies[0].name))
-    for s in strategies[1:]:
-        c = s.builder(clean)
-        name = F.when(c > best, F.lit(s.name)).otherwise(name)
-        best = F.when(c > best, c).otherwise(best)
-    return name
+    names = F.array(*[F.lit(s.name) for s in strategies])
+
+    def pick(clean: Column) -> Column:
+        # struct-max argmax: max over (confidence, -index) is the
+        # highest confidence with FIRST-wins ties (max -index = min
+        # index) — each builder evaluated once, vs the chained
+        # when(c > best, ...).otherwise(...) form that duplicated every
+        # prior subtree twice per step (see detect_heading_expr).
+        pairs = F.array(
+            *[
+                F.struct(
+                    s.builder(clean).alias("c"), F.lit(-i).alias("ni")
+                )
+                for i, s in enumerate(strategies)
+            ]
+        )
+
+        def choose(m: Column) -> Column:
+            return F.when(
+                m["c"] > 0, F.element_at(names, -m["ni"] + 1)
+            )
+
+        return let_bound(F.array_max(pairs), choose)
+
+    return let_bound(py_strip(F.coalesce(line, F.lit(""))), pick)
 
 
 def strategy_stats_df(
