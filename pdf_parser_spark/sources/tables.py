@@ -46,6 +46,29 @@ def _require_iceberg(spark: SparkSession, ref: str) -> str:
     return ref[len(ICEBERG_PREFIX):]
 
 
+def sub_ref(ref: str, name: str) -> str:
+    """Derive a child table reference: ``iceberg:cat.db.t`` + 'lineage' →
+    ``iceberg:cat.db.t_lineage`` (sibling table in the same namespace);
+    a path gets a subdirectory."""
+    clean = name.strip("_/")
+    if is_iceberg_ref(ref):
+        return f"{ref}_{clean}"
+    return f"{ref.rstrip('/')}/{name}"
+
+
+def table_exists(spark: SparkSession, ref: str) -> bool:
+    """Catalog lookup for ``iceberg:`` refs; filesystem check (through
+    the Hadoop FS API, so any configured scheme works) for paths."""
+    if is_iceberg_ref(ref):
+        if not iceberg_available(spark):
+            return False
+        return spark.catalog.tableExists(ref[len(ICEBERG_PREFIX):])
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(ref)
+    return p.getFileSystem(conf).exists(p)
+
+
 def read_table(spark: SparkSession, ref: str, schema=None) -> DataFrame:
     """``iceberg:<catalog.db.table>`` → catalog read (snapshot-isolated,
     partition pruning from the Iceberg metadata tree); otherwise parquet
@@ -65,10 +88,16 @@ def write_table(
     partition_by: tuple = (),
 ) -> None:
     """``iceberg:`` refs use the V2 writer (``createOrReplace`` /
-    ``append`` — Iceberg's atomic-commit path, giving the idempotent
-    replace semantics the parquet branch gets from dynamic partition
-    overwrite); paths write parquet with optional ``partitionBy`` (≙
-    Iceberg identity partitioning)."""
+    ``append`` / ``overwritePartitions`` — Iceberg's atomic-commit
+    path); paths write parquet with optional ``partitionBy`` (≙ Iceberg
+    identity partitioning).
+
+    ``mode="overwrite_partitions"`` is the idempotent re-run write the
+    lineage/ingest checkpointing model needs: only the partitions
+    present in ``df`` are replaced (Iceberg ``overwritePartitions()``;
+    parquet dynamic partition overwrite via the per-write
+    ``partitionOverwriteMode`` option — no session-level conf
+    mutation)."""
     if is_iceberg_ref(ref):
         name = _require_iceberg(df.sparkSession, ref)
         writer = df.writeTo(name)
@@ -76,10 +105,17 @@ def write_table(
             writer = writer.partitionedBy(df[col])
         if mode == "append":
             writer.append()
+        elif mode == "overwrite_partitions":
+            writer.overwritePartitions()
         else:
             writer.createOrReplace()
         return
-    writer = df.write.mode(mode)
+    if mode == "overwrite_partitions":
+        writer = df.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        )
+    else:
+        writer = df.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(ref)

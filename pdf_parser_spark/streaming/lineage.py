@@ -11,8 +11,9 @@ Model (SURVEY.md §2.9):
   with ``observe()``-collected counters;
 - resume = anti-join the bucket list against completed lineage rows: a
   wave killed before its lineage append is simply re-run, and its partial
-  output partitions are overwritten (Iceberg snapshot semantics in
-  production; dynamic-overwrite parquet here).
+  output partitions are overwritten (Iceberg ``overwritePartitions``
+  or parquet dynamic overwrite — the sources/tables seam; lineage rows
+  and outputs alike take ``iceberg:`` table refs or filesystem paths).
 
 At 1000 executors the wave is the unit of checkpoint granularity and each
 wave is one fully-parallel job — the driver loop is O(n_buckets /
@@ -22,13 +23,18 @@ wave_size) metadata operations, never per-document work.
 from __future__ import annotations
 
 import time
-from pathlib import Path
 
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from pdf_parser_spark.config import DEFAULT_CONFIG, PipelineConfig
 from pdf_parser_spark.pipeline import run_pipeline
+from pdf_parser_spark.sources.tables import (
+    read_table,
+    sub_ref,
+    table_exists,
+    write_table,
+)
 
 LINEAGE_SUBDIR = "_lineage"
 
@@ -43,11 +49,13 @@ def with_bucket(docs: DataFrame, n_buckets: int) -> DataFrame:
 
 
 def completed_buckets(spark: SparkSession, out_dir: str) -> set:
-    path = Path(out_dir) / LINEAGE_SUBDIR
-    if not path.exists():
+    """Read the lineage table (``iceberg:`` ref or parquet dir — the
+    sources/tables seam) and return the done bucket ids."""
+    ref = sub_ref(out_dir, LINEAGE_SUBDIR)
+    if not table_exists(spark, ref):
         return set()
     rows = (
-        spark.read.parquet(str(path))
+        read_table(spark, ref)
         .filter(F.col("status") == "done")
         .select("partition_id")
         .distinct()
@@ -60,8 +68,8 @@ def _append_lineage(spark: SparkSession, out_dir: str, rows: list) -> None:
     from pdf_parser_spark.schemas import LINEAGE
 
     df = spark.createDataFrame(rows, LINEAGE)
-    df.coalesce(1).write.mode("append").parquet(
-        str(Path(out_dir) / LINEAGE_SUBDIR)
+    write_table(
+        df.coalesce(1), sub_ref(out_dir, LINEAGE_SUBDIR), mode="append"
     )
 
 
@@ -80,7 +88,6 @@ def run_resumable(
     ``fail_after_waves`` is a fault-injection hook for the resume test —
     raises after k completed waves, exactly as a mid-job kill would.
     """
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     bucketed = with_bucket(docs, n_buckets)
     done = completed_buckets(spark, out_dir)
     pending = [b for b in range(n_buckets) if b not in done]
@@ -108,14 +115,22 @@ def run_resumable(
         out = result.spans_out.join(
             bucketed.select("doc_id", "bucket"), "doc_id"
         )
-        # 1) idempotent output write (re-running a bucket overwrites it)
-        out.write.mode("overwrite").partitionBy("bucket").parquet(
-            f"{out_dir}/spans_out"
+        # 1) idempotent output write (re-running a bucket overwrites only
+        # that bucket's partitions: Iceberg overwritePartitions / parquet
+        # dynamic partition overwrite, via the sources/tables seam)
+        write_table(
+            out,
+            sub_ref(out_dir, "spans_out"),
+            mode="overwrite_partitions",
+            partition_by=("bucket",),
         )
-        result.sections.join(
-            bucketed.select("doc_id", "bucket"), "doc_id"
-        ).write.mode("overwrite").partitionBy("bucket").parquet(
-            f"{out_dir}/sections"
+        write_table(
+            result.sections.join(
+                bucketed.select("doc_id", "bucket"), "doc_id"
+            ),
+            sub_ref(out_dir, "sections"),
+            mode="overwrite_partitions",
+            partition_by=("bucket",),
         )
         result.unpersist()
 
