@@ -652,3 +652,53 @@ def test_ivf_partitioned_equals_memory_and_finds_self(spark, tmp_path):
     assert part == mem
     top1 = sim.ivf_topk(df, q, cents, k=1, n_probe=1).head()
     assert top1.id == 11 and abs(top1.score - 1.0) < 1e-9
+
+
+def test_let_bound_single_evaluation(spark):
+    """let_bound must evaluate its value ONCE per row: binding a
+    nondeterministic rand() and referencing it from every element of a
+    transform yields identical elements, while referencing the rand()
+    expression directly re-evaluates it per element (the HOF re-eval
+    hazard let_bound exists to prevent)."""
+    from pdf_parser_spark.operators.exprs import let_bound
+
+    df = spark.range(20)
+    seq = F.sequence(F.lit(1), F.lit(50))
+
+    bound = df.select(
+        F.size(
+            F.array_distinct(
+                let_bound(
+                    F.rand(), lambda r: F.transform(seq, lambda i: r)
+                )
+            )
+        ).alias("n")
+    )
+    assert all(r.n == 1 for r in bound.collect())
+
+    r_expr = F.rand()
+    inline = df.select(
+        F.size(
+            F.array_distinct(F.transform(seq, lambda i: r_expr))
+        ).alias("n")
+    )
+    # per-element re-evaluation: 50 draws are (near-certainly) distinct
+    assert all(r.n > 1 for r in inline.collect())
+
+
+def test_non_blank_matches_python_strip_truthiness(spark):
+    from pdf_parser_spark.operators.exprs import non_blank
+
+    rows = [
+        (0, ""), (1, "   "), (2, "\t\n"), (3, "  "),
+        (4, " a "), (5, "x"), (6, " x "), (7, None),
+    ]
+    df = spark.createDataFrame(rows, ["i", "s"])
+    got = {
+        r.i: r.nb
+        for r in df.select(
+            "i", non_blank(F.coalesce("s", F.lit(""))).alias("nb")
+        ).collect()
+    }
+    want = {i: bool((s or "").strip()) for i, s in rows}
+    assert got == want
