@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from pdf_parser_spark.functions import dedup as dd
+from pdf_parser_spark.operators.exprs import let_bound
 from pdf_parser_spark.functions import similarity as sim
 from pdf_parser_spark.functions import textstats as ts
 
@@ -1561,21 +1562,25 @@ def synthesize_html(docs: DataFrame) -> DataFrame:
     """Deterministically lift ``documents`` into HTML pages: 12-word
     paragraphs inside a content div, wrapped in link-dense chrome
     (title / nav / footer) the boilerplate stripper must remove."""
-    words = F.split(F.col("text"), " ", -1)
-    n = F.size(words)
-    n_chunks = F.greatest(F.ceil(n / 12).cast("int"), F.lit(1))
-    idx = F.sequence(F.lit(0), n_chunks - 1)
-    paras = F.array_join(
-        F.transform(
-            idx,
-            lambda i: F.concat(
-                F.lit("<p>"),
-                F.array_join(F.slice(words, i * 12 + 1, 12), " "),
-                F.lit("</p>"),
+    def build_paras(words):
+        # let-bound: the per-chunk lambda would otherwise re-split the
+        # text once per chunk (exprs.let_bound)
+        n = F.size(words)
+        n_chunks = F.greatest(F.ceil(n / 12).cast("int"), F.lit(1))
+        idx = F.sequence(F.lit(0), n_chunks - 1)
+        return F.array_join(
+            F.transform(
+                idx,
+                lambda i: F.concat(
+                    F.lit("<p>"),
+                    F.array_join(F.slice(words, i * 12 + 1, 12), " "),
+                    F.lit("</p>"),
+                ),
             ),
-        ),
-        "\n",
-    )
+            "\n",
+        )
+
+    paras = let_bound(F.split(F.col("text"), " ", -1), build_paras)
     html = F.concat(
         F.lit("<html><head><title>Document "),
         F.col("doc_id").cast("string"),
