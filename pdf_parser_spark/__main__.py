@@ -63,15 +63,18 @@ def main(argv=None, spark=None) -> dict:
     if args.mode == "pipeline":
         from pdf_parser_spark import pipeline as P
 
+        from pdf_parser_spark.sources.tables import (
+            read_table, sub_ref, write_table,
+        )
+
         res = P.run_pipeline(P.read_documents(spark, args.input))
         counts = {}
         for name in ("spans_out", "quarantine", "pages", "metadata",
                      "toc", "sections", "metrics"):
             df = getattr(res, name)
-            df.write.mode("overwrite").parquet(f"{args.output}/{name}")
-            counts[name] = spark.read.parquet(
-                f"{args.output}/{name}"
-            ).count()
+            ref = sub_ref(args.output, name)
+            write_table(df, ref, mode="overwrite")
+            counts[name] = read_table(spark, ref).count()
         res.unpersist()
         return counts
 
