@@ -109,11 +109,11 @@ def run_pipeline(
 
 
 def write_outputs(result: PipelineResult, out_dir: str) -> None:
-    """Persist every stage table (the reference's JSONL sinks S3 → parquet;
-    Iceberg `append` in production)."""
-    result.quarantine.write.mode("overwrite").parquet(f"{out_dir}/quarantine")
-    result.spans_out.write.mode("overwrite").parquet(f"{out_dir}/spans_out")
-    result.metadata.write.mode("overwrite").parquet(f"{out_dir}/metadata")
-    result.toc.write.mode("overwrite").parquet(f"{out_dir}/toc")
-    result.sections.write.mode("overwrite").parquet(f"{out_dir}/sections")
-    result.metrics.write.mode("overwrite").parquet(f"{out_dir}/metrics")
+    """Persist every stage table through the table seam (the reference's
+    JSONL sinks S3; ``out_dir`` may be an ``iceberg:`` ref — V2
+    createOrReplace — or a filesystem path — parquet overwrite)."""
+    from pdf_parser_spark.sources.tables import sub_ref, write_table
+
+    for name in ("quarantine", "spans_out", "metadata", "toc",
+                 "sections", "metrics"):
+        write_table(getattr(result, name), sub_ref(out_dir, name))
