@@ -110,3 +110,24 @@ def test_iceberg_ref_requires_runtime(spark):
         T.write_table(
             spark.range(1), "iceberg:cat.db.out", mode="append"
         )
+
+
+def test_sub_ref_and_overwrite_partitions(spark, tmp_path):
+    from pdf_parser_spark.sources import tables as T
+
+    assert T.sub_ref("iceberg:cat.db.docs", "_lineage") == \
+        "iceberg:cat.db.docs_lineage"
+    assert T.sub_ref("/data/out/", "spans_out") == "/data/out/spans_out"
+
+    path = str(tmp_path / "t")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "grp"])
+    T.write_table(df1, path, mode="overwrite_partitions",
+                  partition_by=("grp",))
+    assert not T.table_exists(spark, str(tmp_path / "missing"))
+    assert T.table_exists(spark, path)
+    # re-write ONLY partition 'a' with new content; 'b' must survive
+    df2 = spark.createDataFrame([(9, "a")], ["id", "grp"])
+    T.write_table(df2, path, mode="overwrite_partitions",
+                  partition_by=("grp",))
+    got = sorted((r.id, r.grp) for r in T.read_table(spark, path).collect())
+    assert got == [(2, "b"), (9, "a")]
