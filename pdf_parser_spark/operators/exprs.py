@@ -35,8 +35,10 @@ def py_lstrip(col: Column) -> Column:
 
 
 def is_blank(col: Column) -> Column:
-    """Python ``not (s or '').strip()``."""
-    return py_strip(F.coalesce(col, F.lit(""))) == ""
+    """Python ``not (s or '').strip()`` — as a containment test (no char
+    outside the whitespace class), not a regex-replace-and-compare; see
+    ``non_blank`` for the equivalence and cost argument."""
+    return ~non_blank(F.coalesce(col, F.lit("")))
 
 
 def let_bound(value: Column, body) -> Column:

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from pdf_parser_spark.operators.exprs import py_strip
+from pdf_parser_spark.operators.exprs import non_blank
 
 
 def _pct(n: F.Column, d: F.Column) -> F.Column:
@@ -68,7 +68,7 @@ def metrics_df(
     """One validation-summary row per doc (schema = refsem.doc_metrics)."""
     base = docs.select("doc_id")
 
-    has_text = py_strip(F.coalesce("text", F.lit(""))) != ""
+    has_text = non_blank(F.coalesce("text", F.lit("")))
     has_tables = F.col("n_tables") > 0
     has_images = F.col("n_images") > 0
     has_annots = F.col("n_annots") > 0

@@ -31,7 +31,7 @@ from pyspark.sql.types import (
 
 from pdf_parser_spark.config import DEFAULT_CONFIG, PipelineConfig
 from pdf_parser_spark.operators import headings
-from pdf_parser_spark.operators.exprs import py_strip
+from pdf_parser_spark.operators.exprs import non_blank, py_strip
 from pdf_parser_spark.oracle import refsem
 
 PAGE_BREAK = "\n\n=== PAGE BREAK ===\n\n"
@@ -195,7 +195,7 @@ def sections_df(
         (pages["doc_id"] == intervals["iv_doc"])
         & pages["page"].between(intervals["iv_start"], intervals["iv_end"]),
         "left_anti",
-    ).filter(py_strip(F.coalesce("content", F.lit(""))) != "")
+    ).filter(non_blank(F.coalesce("content", F.lit(""))))
     # full_path is derived AFTER the persist barrier below: referencing
     # `title` twice in one projection makes CollapseProject inline the
     # (regex-heavy) detection expression twice — post-cache it is a
