@@ -14,11 +14,15 @@ from operator import or_
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-# Python str.strip() whitespace class (ASCII subset + unicode spaces).
-# Java \s is [ \t\n\x0B\f\r]; Python strips those plus unicode whitespace.
-# Fixtures are controlled, but CJK fixtures exist → use the Java-unicode
-# aware class \p{javaWhitespace} which matches Python's for our corpus.
-_WS = r"[\s\u0085\u00A0\u1680\u2000-\u200A\u2028\u2029\u202F\u205F\u3000]"
+# Python str.strip() whitespace class: the EXACT codepoint set for which
+# CPython's str.isspace() is true (property-pinned by a full-BMP codepoint
+# sweep in tests/test_properties.py).  Java \s is [ \t\n\x0B\f\r]; Python
+# additionally strips the \x1C-\x1F separator controls and the unicode
+# space/line/paragraph separators listed here.
+_WS = (
+    r"[\s\u001C-\u001F\u0085\u00A0\u1680"
+    r"\u2000-\u200A\u2028\u2029\u202F\u205F\u3000]"
+)
 
 
 def py_strip(col: Column) -> Column:
@@ -90,7 +94,7 @@ def word_count(col: Column) -> Column:
     leading/trailing."""
     stripped = py_strip(col)
     return F.when(stripped == "", F.lit(0)).otherwise(
-        F.size(F.split(stripped, r"\s+"))
+        F.size(F.split(stripped, _WS + "+"))
     )
 
 
@@ -98,7 +102,7 @@ def words(col: Column) -> Column:
     """Python s.split() as array (empty array for blank)."""
     stripped = py_strip(col)
     return F.when(stripped == "", F.array().cast("array<string>")).otherwise(
-        F.split(stripped, r"\s+")
+        F.split(stripped, _WS + "+")
     )
 
 

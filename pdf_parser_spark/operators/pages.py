@@ -57,7 +57,14 @@ def error_kind_expr(cfg: PipelineConfig = DEFAULT_CONFIG) -> F.Column:
     known = list(cfg.known_kinds)
     return (
         F.when(F.col("seq").isNull(), F.lit("empty_spans"))
-        .when(~F.col("kind").isin(known), F.lit("unknown_kind"))
+        # NULL kind must not slip through three-valued logic: NOT(NULL
+        # isin ...) is NULL, which when() treats as false — test isNull
+        # explicitly (found by tests/test_properties.py's minimal
+        # counterexample (kind=None, offset=0)).
+        .when(
+            F.col("kind").isNull() | ~F.col("kind").isin(known),
+            F.lit("unknown_kind"),
+        )
         .when(
             F.col("offset").isNull() | (F.col("offset") < 0),
             F.lit("bad_offset"),
