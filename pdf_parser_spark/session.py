@@ -32,6 +32,21 @@ def get_spark(
     # per-exchange re-planning is driver-serial, and on a single-JVM local
     # harness with many small stages it can dominate the critical path.
     aqe = os.environ.get("SPARK_GRAFT_AQE", "1") != "0"
+    # Preload pandas/numpy/pyarrow in the worker daemon so every forked
+    # Python worker inherits them via copy-on-write instead of paying the
+    # (kernel-bound, seconds-per-worker) import itself — see
+    # daemon_preload.py.  PYTHONPATH must reach the daemon subprocess for
+    # the module to resolve regardless of the JVM's working directory.
+    preload = os.environ.get("SPARK_GRAFT_PRELOAD", "1") != "0"
+    if preload:
+        from pathlib import Path
+
+        pkg_parent = str(Path(__file__).resolve().parents[1])
+        existing = os.environ.get("PYTHONPATH", "")
+        if pkg_parent not in existing.split(os.pathsep):
+            os.environ["PYTHONPATH"] = pkg_parent + (
+                os.pathsep + existing if existing else ""
+            )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -44,6 +59,23 @@ def get_spark(
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Pre-size the heap and bound GC parallelism.  G1 growing the
+        # heap from its small default -Xms toward -Xmx commits/uncommits
+        # pages continuously; on para-virtualized kernels with expensive
+        # page-fault paths that turns GC into a system-time storm (this
+        # sandbox measured 33% sys / 5% user during a default-config run,
+        # and 2.8x steady-state speedup from exactly these two flags —
+        # BENCH/README.md).  Same practice as production executor sizing
+        # (-Xms=-Xmx, GC threads not oversubscribing the executor cores).
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_GRAFT_DRIVER_JAVA_OPTS",
+                f"-Xms{os.environ.get('SPARK_GRAFT_DRIVER_MEM', '8g')}"
+                f" -XX:ParallelGCThreads={min(8, os.cpu_count() or 8)}"
+                " -XX:ConcGCThreads=2",
+            ),
+        )
         .config("spark.ui.enabled", "false")
         # parquet scan sizing: at 100 TB the default 128m is right; keep it
         # explicit so it is a deliberate choice, not an accident.
@@ -53,6 +85,11 @@ def get_spark(
         # overruns the heap — size batches for wide rows.
         .config("spark.sql.parquet.columnarReaderBatchSize", "512")
     )
+    if preload:
+        builder = builder.config(
+            "spark.python.daemon.module",
+            "pdf_parser_spark.daemon_preload",
+        )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
     spark = builder.getOrCreate()
