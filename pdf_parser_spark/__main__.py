@@ -25,6 +25,11 @@ Modes:
 - ``assembly``  fragment streams: applyInPandasWithState per-doc
   reassembly of spans that arrive split across micro-batches
   (streaming/assembly.py).
+- ``bucketize`` one-time physical re-layout: write the corpus as a
+  doc_id-bucketed table (``--output table:<name>`` or an ``iceberg:``
+  ref → ``bucket(N, doc_id)`` transform).  ``--mode pipeline --input
+  table:<name>`` then plans the whole reassembly with ZERO exchanges
+  (sources/tables.py:write_bucketed_table; tests/test_plans.py).
 """
 
 from __future__ import annotations
@@ -35,10 +40,18 @@ import argparse
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="pdf_parser_spark")
     p.add_argument("--mode", required=True,
-                   choices=["pipeline", "resume", "ingest", "assembly"])
+                   choices=["pipeline", "resume", "ingest", "assembly",
+                            "bucketize"])
     p.add_argument("--input", required=True,
-                   help="documents (or fragments) parquet/Iceberg path")
+                   help="documents (or fragments) parquet/Iceberg path, "
+                        "or table:<name> for a catalog (e.g. bucketed) "
+                        "table")
     p.add_argument("--output", required=True, help="output directory")
+    p.add_argument("--buckets", type=int, default=256,
+                   help="bucketize mode: number of doc_id buckets")
+    p.add_argument("--table-path",
+                   help="bucketize mode: external storage location for "
+                        "the bucketed table (default: warehouse dir)")
     p.add_argument("--checkpoint",
                    help="checkpoint/lineage dir (resume/ingest/assembly)")
     p.add_argument("--run-id", default="run-0", help="resume-mode run id")
@@ -77,6 +90,29 @@ def main(argv=None, spark=None) -> dict:
             counts[name] = read_table(spark, ref).count()
         res.unpersist()
         return counts
+
+    if args.mode == "bucketize":
+        from pdf_parser_spark import pipeline as P
+        from pdf_parser_spark.sources import tables as T
+
+        ref = args.output
+        if not T.is_iceberg_ref(ref):
+            if not T.is_table_ref(ref):
+                raise SystemExit(
+                    "bucketize --output must be table:<name> or "
+                    "iceberg:<catalog.db.table>"
+                )
+            ref = ref[len(T.TABLE_PREFIX):]
+        T.write_bucketed_table(
+            P.read_documents(spark, args.input),
+            args.output if T.is_iceberg_ref(args.output) else ref,
+            n_buckets=args.buckets,
+            bucket_col="doc_id",
+            sort_cols=("doc_id",),
+            path=args.table_path,
+        )
+        n = T.read_table(spark, args.output).count()
+        return {"mode": "bucketize", "table": args.output, "docs": n}
 
     if args.mode == "resume":
         from pdf_parser_spark import pipeline as P

@@ -44,3 +44,38 @@ def test_main_resume_mode_summary(spark):
         assert isinstance(summary, dict) and summary
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_main_bucketize_then_pipeline_from_table(spark):
+    """bucketize writes the doc_id-bucketed catalog table; pipeline mode
+    reads it back via the table: ref and produces the same spans_out
+    count as the parquet path."""
+    tmp = tempfile.mkdtemp(prefix="main_", dir="/root/repo")
+    try:
+        to_spark_df(spark, fixture_corpus(n_docs=8)).write.parquet(
+            f"{tmp}/in"
+        )
+        summary = main(
+            ["--mode", "bucketize", "--input", f"{tmp}/in",
+             "--output", "table:docs_bucketed_cli_test",
+             "--buckets", "4", "--table-path", f"{tmp}/bucketed"],
+            spark=spark,
+        )
+        # row-complete: every raw row (incl. malformed docs the fixture
+        # plants for the quarantine path) survives the re-layout
+        assert summary["docs"] == spark.read.parquet(f"{tmp}/in").count()
+        counts = main(
+            ["--mode", "pipeline",
+             "--input", "table:docs_bucketed_cli_test",
+             "--output", f"{tmp}/out"],
+            spark=spark,
+        )
+        baseline = main(
+            ["--mode", "pipeline", "--input", f"{tmp}/in",
+             "--output", f"{tmp}/out_plain"],
+            spark=spark,
+        )
+        assert counts == baseline
+    finally:
+        spark.sql("DROP TABLE IF EXISTS docs_bucketed_cli_test")
+        shutil.rmtree(tmp, ignore_errors=True)

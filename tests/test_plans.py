@@ -87,6 +87,37 @@ def test_span_sequence_single_exchange_no_python(spark, docs_df):
     assert ", broadcast" not in optimized
 
 
+def test_bucketed_docs_reassembly_is_shuffle_free(spark, docs_df, tmp_path):
+    """North rule: "doc_id-range bucketing for shuffle-free reassembly".
+    Reading the corpus from a doc_id-bucketed table, the scan itself
+    satisfies the window chain's clustering — the whole reassembly plans
+    with ZERO exchanges (the ad-hoc parquet path pays one), and the
+    output is row-identical to the ad-hoc path."""
+    from pdf_parser_spark.operators import pages as P
+    from pdf_parser_spark.sources import tables as tbl
+
+    name = "docs_bucketed_plan_test"
+    tbl.write_bucketed_table(
+        docs_df, name, n_buckets=4, bucket_col="doc_id",
+        sort_cols=("doc_id",), path=str(tmp_path / "docs_bucketed"),
+    )
+    try:
+        bucketed = tbl.read_bucketed_table(spark, name)
+        out = P.span_sequence_df(P.valid_spans(P.explode_spans(bucketed)))
+        plan = _plan(out)
+        assert "Exchange" not in plan
+        assert "Python" not in plan
+        assert "Join" not in plan
+        # identical rows to the single-exchange ad-hoc path
+        ad_hoc = P.span_sequence_df(P.valid_spans(P.explode_spans(docs_df)))
+        cols = ad_hoc.columns
+        assert sorted(map(tuple, out.select(*cols).collect())) == sorted(
+            map(tuple, ad_hoc.collect())
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
 def test_link_media_broadcast_is_gated(spark, docs_df):
     """link_media must not hard-wire a broadcast of the media dimension
     (unbounded at corpus scale); the hint appears only on opt-in."""

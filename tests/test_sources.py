@@ -131,3 +131,39 @@ def test_sub_ref_and_overwrite_partitions(spark, tmp_path):
                   partition_by=("grp",))
     got = sorted((r.id, r.grp) for r in T.read_table(spark, path).collect())
     assert got == [(2, "b"), (9, "a")]
+
+
+def test_register_bucketed_table_reclaims_shuffle_free(spark, docs_df,
+                                                       tmp_path):
+    """A fresh session re-attaches an existing bucketed directory with
+    DDL only (no rewrite) and gets the shuffle-free scan back; reading
+    the same directory as plain parquet loses it (one exchange)."""
+    from pdf_parser_spark.operators import pages as P
+    from pdf_parser_spark.sources import tables as T
+
+    path = str(tmp_path / "docs_bucketed")
+    T.write_bucketed_table(docs_df, "reg_bucketed_w", n_buckets=4,
+                           path=path)
+    ddl = docs_df._jdf.schema().toDDL()
+    # external table: DROP removes metadata only, files stay
+    spark.sql("DROP TABLE reg_bucketed_w")
+    assert Path(path).exists()
+
+    def plan(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    plain = P.span_sequence_df(
+        P.valid_spans(P.explode_spans(spark.read.parquet(path)))
+    )
+    assert plan(plain).count("Exchange") == 1
+
+    T.register_bucketed_table(spark, "reg_bucketed_r", path, 4, ddl)
+    try:
+        df = T.read_bucketed_table(spark, "table:reg_bucketed_r")
+        out = P.span_sequence_df(P.valid_spans(P.explode_spans(df)))
+        assert "Exchange" not in plan(out)
+        assert sorted(map(tuple, out.collect())) == sorted(
+            map(tuple, plain.collect())
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS reg_bucketed_r")
