@@ -61,6 +61,32 @@ def ensure_corpus(spark, n_docs: int, mega_spans: int) -> str:
     return str(path)
 
 
+def ensure_bucketed(spark, corpus_path: str, n_buckets: int = 32) -> str:
+    """doc_id-bucketed twin of the bench corpus (north rule: bucketing
+    for shuffle-free reassembly).  Files are written once and re-attached
+    to each fresh session's catalog with DDL only (the bucket spec is
+    catalog metadata, not file content)."""
+    from pdf_parser_spark.sources import tables as T
+
+    name = "bench_docs_bucketed"
+    path = corpus_path + f"_bucketed{n_buckets}"
+    marker = Path(path) / "_SUCCESS_LOCAL"
+    docs = read_documents(spark, corpus_path)
+    if not marker.exists():
+        if Path(path).exists():
+            shutil.rmtree(path)
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        T.write_bucketed_table(
+            docs, name, n_buckets=n_buckets, path=path
+        )
+        marker.write_text("ok")
+    elif not spark.catalog.tableExists(name):
+        T.register_bucketed_table(
+            spark, name, path, n_buckets, docs._jdf.schema().toDDL()
+        )
+    return f"table:{name}"
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -155,6 +181,30 @@ def main() -> None:
         all_q = dq.queries()
         for name in RELATIONAL:
             timed(name, lambda n=name: all_q[n](spark, sf_dir).count())
+
+    # --- physical-layout A/B: the W2 reassembly over the ad-hoc parquet
+    # corpus (one doc_id exchange) vs the doc_id-bucketed table (zero
+    # exchanges — the scan itself satisfies the window clustering) ------
+    if not os.environ.get("SPARK_GRAFT_BENCH_SKIP_LAYOUT"):
+        from pdf_parser_spark.operators import pages as P
+
+        bucketed = read_documents(
+            spark, ensure_bucketed(spark, corpus_path)
+        )
+
+        def reassemble(src):
+            return P.span_sequence_df(
+                P.valid_spans(P.explode_spans(src))
+            ).count()
+
+        # one untimed warm pass per layout: the A/B compares steady-state
+        # scan+window cost, not whichever side pays JIT/scan-path warmup
+        # (first-touch of the bucketed-scan code path measured 10x slower
+        # than its own second run on an otherwise-identical table)
+        reassemble(docs)
+        reassemble(bucketed)
+        timed("w2_reassembly_parquet", lambda: reassemble(docs))
+        timed("w2_reassembly_bucketed", lambda: reassemble(bucketed))
 
     result = {
         "metric": "documents/sec end-to-end extraction",

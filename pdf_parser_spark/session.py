@@ -84,6 +84,15 @@ def get_spark(
         # default 4096-row columnar batch × many concurrent scan tasks
         # overruns the heap — size batches for wide rows.
         .config("spark.sql.parquet.columnarReaderBatchSize", "512")
+        # let a bucketed+sorted scan report its ordering so co-bucketed
+        # merge joins and per-doc windows elide the Sort as well as the
+        # Exchange.  Correctness-safe: Spark only trusts the ordering
+        # after verifying one file per bucket (which write_bucketed_table
+        # guarantees via its producer-side repartition); more files per
+        # bucket simply fall back to sorting.
+        .config(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
+        )
     )
     if preload:
         builder = builder.config(

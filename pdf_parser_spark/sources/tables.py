@@ -166,9 +166,9 @@ def write_bucketed_table(
     ``sort_cols`` orders rows inside each bucket file; with one file
     per bucket Spark also elides the window sort on those columns.
     """
-    if is_iceberg_ref(ref):
-        from pyspark.sql import functions as F
+    from pyspark.sql import functions as F
 
+    if is_iceberg_ref(ref):
         name = _require_iceberg(df.sparkSession, ref)
         writer = df.writeTo(name).partitionedBy(
             F.bucket(n_buckets, F.col(bucket_col))
@@ -178,8 +178,16 @@ def write_bucketed_table(
         else:
             writer.createOrReplace()
         return
+    # align producer tasks with buckets before the write: repartition's
+    # hash IS the bucket function (pmod(murmur3(col), n)), so each task
+    # holds exactly one bucket and writes exactly one file — without
+    # this, every task splits its rows across all n_buckets and the
+    # layout degrades to tasks × n_buckets small files (a real problem
+    # at 1000 executors) while losing the one-file-per-bucket sort
+    # elision.  The shuffle is the one-time cost of the re-layout.
     writer = (
-        df.write.format("parquet")
+        df.repartition(n_buckets, F.col(bucket_col))
+        .write.format("parquet")
         .mode(mode)
         .bucketBy(n_buckets, bucket_col)
     )

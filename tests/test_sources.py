@@ -167,3 +167,68 @@ def test_register_bucketed_table_reclaims_shuffle_free(spark, docs_df,
         )
     finally:
         spark.sql("DROP TABLE IF EXISTS reg_bucketed_r")
+
+
+def test_cobucketed_join_is_shuffle_and_sort_free(spark, docs_df,
+                                                  tmp_path):
+    """Two tables bucketed the same way (doc_id, same bucket count) join
+    on doc_id with ZERO exchanges and ZERO sorts: the scans themselves
+    report the HashPartitioning+ordering a sort-merge join needs.  This
+    is the co-located-join contract write_bucketed_table's docstring
+    promises — at 100 TB it is the difference between a pure scan-side
+    merge and shuffling both full tables."""
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.sources import tables as T
+
+    left = docs_df.select("doc_id", "spans")
+    right = docs_df.select(
+        "doc_id", F.size("spans").alias("n_spans")
+    )
+    T.write_bucketed_table(left, "cob_left", n_buckets=4,
+                           path=str(tmp_path / "cob_left"))
+    T.write_bucketed_table(right, "cob_right", n_buckets=4,
+                           path=str(tmp_path / "cob_right"))
+    try:
+        lt = T.read_bucketed_table(spark, "table:cob_left")
+        rt = T.read_bucketed_table(spark, "table:cob_right")
+        joined = lt.hint("merge").join(rt, "doc_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        # one file per bucket + sortBy(doc_id) + the session's
+        # bucketedTableScan.outputOrdering → no Sort node either
+        # ("Sort [" is the operator; plain "Sort" would also match
+        # SortMergeJoin itself)
+        assert "Sort [" not in plan
+        assert joined.count() == docs_df.count()
+
+        # the same join over plain parquet shuffles both sides — the
+        # layout, not the data, is what the elision buys
+        pl = spark.read.parquet(str(tmp_path / "cob_left"))
+        pr = spark.read.parquet(str(tmp_path / "cob_right"))
+        plain = pl.hint("merge").join(pr, "doc_id")
+        pp = plain._jdf.queryExecution().executedPlan().toString()
+        assert pp.count("Exchange") == 2
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cob_left")
+        spark.sql("DROP TABLE IF EXISTS cob_right")
+
+
+def test_bucketed_write_one_file_per_bucket(spark, docs_df, tmp_path):
+    """The producer-side repartition aligns tasks with buckets: exactly
+    one data file per bucket, regardless of input partitioning."""
+    from pathlib import Path as P
+
+    from pdf_parser_spark.sources import tables as T
+
+    path = str(tmp_path / "one_per_bucket")
+    T.write_bucketed_table(
+        docs_df.repartition(7), "one_per_bucket_t", n_buckets=4,
+        path=path,
+    )
+    try:
+        files = [f for f in P(path).iterdir()
+                 if f.name.endswith(".parquet")]
+        assert len(files) == 4
+    finally:
+        spark.sql("DROP TABLE IF EXISTS one_per_bucket_t")
