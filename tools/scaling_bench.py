@@ -43,6 +43,10 @@ def run(cpus: int, n_docs: int, mega: int) -> dict:
             "SPARK_GRAFT_BENCH_CONCURRENCY", "4"
         ),
         SPARK_GRAFT_BENCH_SKIP_RELATIONAL="1",
+        # the scaling metric is pipeline_e2e docs/sec only: skip the
+        # physical-layout A/B (it adds four full-corpus reassembly
+        # passes per leg and measures layout, not scaling)
+        SPARK_GRAFT_BENCH_SKIP_LAYOUT="1",
         SPARK_GRAFT_SF_DIR=os.environ.get(
             "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
         ),
