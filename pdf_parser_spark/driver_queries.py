@@ -1558,8 +1558,8 @@ def pipeline_quarantine(spark, sf_dir):
     return pages_op.quarantine_df(pages_op.explode_spans(corrupted))
 
 
-def synthesize_html(docs: DataFrame) -> DataFrame:
-    """Deterministically lift ``documents`` into HTML pages: 12-word
+def _html_page_expr() -> F.Column:
+    """One deterministic HTML page from the row's (doc_id, text): 12-word
     paragraphs inside a content div, wrapped in link-dense chrome
     (title / nav / footer) the boilerplate stripper must remove."""
     def build_paras(words):
@@ -1581,7 +1581,7 @@ def synthesize_html(docs: DataFrame) -> DataFrame:
         )
 
     paras = let_bound(F.split(F.col("text"), " ", -1), build_paras)
-    html = F.concat(
+    return F.concat(
         F.lit("<html><head><title>Document "),
         F.col("doc_id").cast("string"),
         F.lit(
@@ -1595,10 +1595,43 @@ def synthesize_html(docs: DataFrame) -> DataFrame:
             '<a href="/privacy">Privacy</a></footer>\n</body></html>'
         ),
     )
+
+
+def synthesize_html(docs: DataFrame) -> DataFrame:
+    """Deterministically lift ``documents`` into (doc_id, html) pages."""
     return docs.select(
         F.col("doc_id").cast("string").alias("doc_id"),
-        html.alias("html"),
+        _html_page_expr().alias("html"),
     )
+
+
+def synthesize_interleaved(docs: DataFrame) -> DataFrame:
+    """Lift ``documents`` into the north-rule INTERLEAVED shape where the
+    html payload rides inside the span array itself: a plain text span,
+    a raw HTML page span (chrome + 12-word paragraphs over the same
+    words as ``synthesize_html``), and a trailing image span."""
+    did = F.col("doc_id").cast("string")
+    spans = F.array(
+        F.struct(
+            F.lit("text").alias("kind"),
+            F.col("text").alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(0).cast("int").alias("offset"),
+        ),
+        F.struct(
+            F.lit("html").alias("kind"),
+            _html_page_expr().alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(1).cast("int").alias("offset"),
+        ),
+        F.struct(
+            F.lit("image").alias("kind"),
+            F.lit("640x480").alias("text"),
+            F.concat(F.lit("img-"), did).alias("media_ref"),
+            F.lit(2).cast("int").alias("offset"),
+        ),
+    )
+    return docs.select(did.alias("doc_id"), spans.alias("spans"))
 
 
 _HTML_MAIN_SQL = """
@@ -1646,6 +1679,90 @@ def html_main_content(spark, sf_dir):
 
     docs = synthesize_html(_t(spark, sf_dir, "documents"))
     return bp.main_content_df(docs)
+
+
+_INTERLEAVED_HTML_SQL = """
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, text,
+         string_split(text, ' ') AS ws
+  FROM documents),
+hc AS (
+  SELECT doc_id, ws,
+         greatest(CAST(ceil(length(ws) / 12.0) AS INT), 1) AS n_chunks
+  FROM d),
+hchunks AS (
+  SELECT doc_id, i,
+         array_to_string(list_slice(ws, i * 12 + 1, i * 12 + 12), ' ')
+             AS chunk
+  FROM hc, unnest(generate_series(0, n_chunks - 1)) AS t(i)),
+hflags AS (
+  SELECT doc_id, i, chunk,
+         length(string_split(chunk, ' ')) >= 10 AS long_good
+  FROM hchunks WHERE chunk <> ''),
+hkeep AS (
+  SELECT doc_id, i, chunk FROM (
+    SELECT doc_id, i, chunk, long_good,
+           coalesce(lag(long_good) OVER w, false) AS prev_good,
+           coalesce(lead(long_good) OVER w, false) AS next_good
+    FROM hflags
+    WINDOW w AS (PARTITION BY doc_id ORDER BY i)) g
+  WHERE long_good OR prev_good OR next_good),
+hmain AS (
+  SELECT doc_id, string_agg(chunk, chr(10) ORDER BY i) AS main_text
+  FROM hkeep GROUP BY doc_id),
+norm AS (
+  SELECT doc_id, 0 AS off, 'text' AS kind, text,
+         CAST(NULL AS VARCHAR) AS media_ref
+  FROM d
+  UNION ALL
+  SELECT doc_id, 1, 'text', main_text, NULL FROM hmain
+  UNION ALL
+  SELECT doc_id, 2, 'image', '640x480', 'img-' || doc_id FROM d),
+seqd AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY off)
+                 - 1 AS INT) AS seq,
+         CAST(1 AS INT) AS page
+  FROM norm),
+kept AS (
+  SELECT doc_id, seq, page, kind, media_ref, off,
+         CASE WHEN kind = 'image'
+              THEN 'Image ' || CAST(img_id AS VARCHAR) || ': '
+                   || coalesce(media_ref, 'unnamed') || ' ('
+                   || coalesce(nullif(regexp_replace(text,
+                        '^\\s+|\\s+$', '', 'g'), ''), '0x0') || ')'
+              ELSE text END AS out_text,
+         CASE WHEN kind = 'image' THEN 2 ELSE 0 END AS kind_rank
+  FROM (SELECT *,
+               sum(CASE WHEN kind = 'image' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY off, seq) AS img_id
+        FROM seqd) w
+  WHERE kind = 'image'
+     OR coalesce(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '') <> '')
+SELECT doc_id, seq, page, kind, out_text AS text, media_ref,
+       CAST(row_number() OVER (PARTITION BY doc_id
+                ORDER BY page, kind_rank, off, seq) AS INT) AS "order"
+FROM kept
+"""
+
+
+@q("pipeline_interleaved_html", _INTERLEAVED_HTML_SQL)
+def pipeline_interleaved_html(spark, sf_dir):
+    """Interleaved extraction end-to-end (north rule: html payloads ride
+    INSIDE the span array): normalize raw-HTML spans to main-content
+    text spans via the DOM-density strip, then run the flagship W2
+    reassembly over the normalized corpus.  The oracle never parses
+    HTML — it recomputes the expected main text from the source words,
+    rebuilds the normalized span list, and replays the W2 ordering, so
+    a green hash proves tokenizer → density classifier → in-place span
+    rewrite → sequence reassembly AS COMPOSED."""
+    from pdf_parser_spark.functions import boilerplate as bp
+    from pdf_parser_spark.operators import pages as pages_op
+
+    docs = synthesize_interleaved(_t(spark, sf_dir, "documents"))
+    norm = bp.strip_html_spans(docs)
+    return pages_op.span_sequence_df(
+        pages_op.valid_spans(pages_op.explode_spans(norm))
+    )
 
 
 _MEDIA_LINK_SQL = f"""

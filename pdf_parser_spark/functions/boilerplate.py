@@ -150,6 +150,57 @@ def parse_html_blocks(
     )
 
 
+SPAN_BLOCKS_SCHEMA = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("seq", IntegerType()),
+        StructField("media_ref", StringType()),
+        StructField("offset", IntegerType()),
+        StructField("block_id", IntegerType()),
+        StructField("tag", StringType()),
+        StructField("text", StringType()),
+        StructField("raw_len", LongType()),
+        StructField("link_len", LongType()),
+    ]
+)
+
+
+def parse_span_blocks(spans: DataFrame) -> DataFrame:
+    """Flat html SPANS (doc_id, seq, text=raw html, media_ref, offset) →
+    block rows keyed (doc_id, seq, block_id).  Each span is its own
+    mini-document for the density classifier; ``media_ref``/``offset``
+    ride along on every block row so re-assembly needs no join back to
+    the span table (they are two small columns vs a full shuffle+join).
+    Same single Arrow crossing as ``parse_html_blocks``."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, seq, text, media_ref, offset in zip(
+                pdf["doc_id"], pdf["seq"], pdf["text"],
+                pdf["media_ref"], pdf["offset"],
+            ):
+                for bid, (tag, btext, raw_len, link_len) in enumerate(
+                    _parse_one(text)
+                ):
+                    rows.append(
+                        (
+                            str(doc_id),
+                            int(seq),
+                            None if media_ref is None else str(media_ref),
+                            None if offset is None else int(offset),
+                            bid, tag, btext, raw_len, link_len,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in SPAN_BLOCKS_SCHEMA]
+            )
+
+    return spans.select(
+        "doc_id", "seq", "text", "media_ref", "offset"
+    ).mapInPandas(batches, SPAN_BLOCKS_SCHEMA)
+
+
 def _n_words(text: Column) -> Column:
     return F.size(F.split(F.trim(text), r"\s+", -1))
 
@@ -166,9 +217,13 @@ def score_blocks(blocks: DataFrame) -> DataFrame:
     )
 
 
-def classify_blocks(scored: DataFrame) -> DataFrame:
+def classify_blocks(
+    scored: DataFrame, id_cols: tuple = ("doc_id",)
+) -> DataFrame:
     """jusText-style classification + one-step neighbor smoothing, all
-    window exprs over (doc_id, block_id)."""
+    window exprs over (*id_cols, block_id).  ``id_cols`` is the unit of
+    one DOM: a whole document for page-level strip, (doc_id, seq) when
+    each html SPAN is its own mini-document."""
     chrome = F.col("tag").isin(*CHROME_TAGS)
     linky = F.col("link_density") >= LINK_DENSITY_MAX
     long_good = (
@@ -177,7 +232,7 @@ def classify_blocks(scored: DataFrame) -> DataFrame:
     short_candidate = (
         ~chrome & ~linky & (F.col("n_words") < LONG_BLOCK_WORDS)
     )
-    w = Window.partitionBy("doc_id").orderBy("block_id")
+    w = Window.partitionBy(*id_cols).orderBy("block_id")
     with_flags = scored.withColumn("long_good", long_good)
     neighbor_good = (
         F.coalesce(F.lag("long_good").over(w), F.lit(False))
@@ -211,3 +266,118 @@ def main_content_df(
             "\n",
         ).alias("main_text")
     )
+
+
+def strip_html_spans(docs: DataFrame, html_kind: str = "html") -> DataFrame:
+    """Ingest normalization for the interleaved corpus (north rule:
+    "HTML boilerplate strip ... over interleaved text + media
+    documents"): documents whose span arrays carry raw-HTML payloads
+    (``kind == html_kind``) get those spans replaced by plain
+    ``kind='text'`` spans holding the DOM-density main content, in
+    place (same ``media_ref``/``offset``); spans that strip to pure
+    boilerplate are dropped, the same way the span-sequence stage drops
+    blank text spans.  Documents with no html spans pass through
+    byte-identical.
+
+    Scale: this runs ONCE per corpus at ingest (like bucketize), not
+    inside every pipeline invocation — the downstream validator then
+    treats any surviving raw html span as ``unknown_kind`` →
+    quarantine, so an un-normalized corpus fails loudly instead of
+    leaking markup into the extraction output.  All Python + shuffle
+    work is proportional to the html-bearing subset only: the
+    passthrough branch is a scan + native ``exists()`` probe, the html
+    branch pays one Arrow tokenizer crossing and two doc-local
+    shuffles ((doc_id, seq) block fold, doc_id span re-collect).
+    """
+    is_html_span = lambda s: s["kind"].eqNullSafe(F.lit(html_kind))  # noqa: E731
+    # eqNullSafe + coalesce: a doc with NULL kinds or a NULL spans array
+    # must land in the passthrough branch (three-valued exists() would
+    # drop it from BOTH filters), so quarantine still sees it.
+    has_html = F.coalesce(
+        F.exists("spans", is_html_span), F.lit(False)
+    )
+    plain = docs.filter(~has_html)
+    hdocs = docs.filter(has_html)
+
+    flat = hdocs.select(
+        "doc_id", F.posexplode("spans").alias("seq", "span")
+    ).select(
+        "doc_id",
+        "seq",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+    rest = flat.filter(~F.col("kind").eqNullSafe(F.lit(html_kind)))
+    html_spans = flat.filter(F.col("kind").eqNullSafe(F.lit(html_kind)))
+
+    classified = classify_blocks(
+        score_blocks(parse_span_blocks(html_spans)),
+        id_cols=("doc_id", "seq"),
+    )
+    stripped = (
+        classified.filter(F.col("is_content"))
+        .groupBy("doc_id", "seq")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("block_id", "text"))
+                    ),
+                    lambda s: s["text"],
+                ),
+                "\n",
+            ).alias("text"),
+            F.first("media_ref").alias("media_ref"),
+            F.first("offset").alias("offset"),
+        )
+        .select(
+            "doc_id",
+            "seq",
+            F.lit("text").alias("kind"),
+            "text",
+            "media_ref",
+            "offset",
+        )
+    )
+
+    # one anchor row per html-bearing doc (seq NULL = sentinel; real rows
+    # always carry a posexplode seq): a doc whose every span is html that
+    # strips to nothing must SURVIVE with an empty spans array — so the
+    # downstream empty_spans quarantine records it — not silently vanish
+    # from the corpus.  collect_list skips NULL elements, so anchors
+    # force the group row without contributing a span.
+    anchor = hdocs.select(
+        "doc_id",
+        F.lit(None).cast("int").alias("seq"),
+        F.lit(None).cast("string").alias("kind"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+        F.lit(None).cast("int").alias("offset"),
+    )
+    respanned = (
+        rest.unionByName(stripped)
+        .unionByName(anchor)
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("seq").isNotNull(),
+                            F.struct(
+                                "offset",
+                                "seq",
+                                F.struct(
+                                    "kind", "text", "media_ref", "offset"
+                                ).alias("s"),
+                            ),
+                        )
+                    )
+                ),
+                lambda x: x["s"],
+            ).alias("spans")
+        )
+    )
+    return plain.unionByName(respanned)

@@ -89,3 +89,123 @@ def test_main_content_order_and_single_python_stage(spark):
     rows = {r.doc_id: r.main_text for r in out.collect()}
     assert rows["d1"] == LONG + "\nshort trailing note"
     assert rows["d2"] == LONG + "\n" + LONG
+
+
+# --- strip_html_spans: ingest normalization of the interleaved corpus ---
+
+
+def _interleaved(spark):
+    from pyspark.sql import Row
+
+    html = (
+        '<html><head><title>T</title></head><body>'
+        '<nav><a href="/">H</a> <a href="/x">X</a></nav>'
+        f"<p>{LONG}</p><p>tail note</p>"
+        '<footer><a href="/t">T</a></footer></body></html>'
+    )
+    return spark.createDataFrame(
+        [
+            Row(doc_id="d1", spans=[
+                Row(kind="text", text="plain intro", media_ref=None,
+                    offset=0),
+                Row(kind="html", text=html, media_ref="src-d1", offset=1),
+                Row(kind="image", text="640x480", media_ref="img-d1",
+                    offset=2),
+            ]),
+            Row(doc_id="d2", spans=[
+                Row(kind="text", text="no html here", media_ref=None,
+                    offset=0),
+            ]),
+            Row(doc_id="d3", spans=[
+                Row(kind="html", text="<p>tiny</p>", media_ref=None,
+                    offset=0),
+            ]),
+            Row(doc_id="d4", spans=[
+                Row(kind=None, text="bad", media_ref=None, offset=None),
+                Row(kind="html", text=f"<p>{LONG}</p>", media_ref=None,
+                    offset=1),
+            ]),
+        ]
+    )
+
+
+def test_strip_html_spans_rewrites_in_place(spark):
+    """The html span becomes a kind='text' span holding the stripped
+    main content, at its original (media_ref, offset) slot between the
+    untouched text and image spans (north-rule interleaved semantics)."""
+    from pdf_parser_spark.functions import boilerplate as bp
+
+    out = {r.doc_id: r.spans
+           for r in bp.strip_html_spans(_interleaved(spark)).collect()}
+    got = [(s.kind, s.text, s.media_ref, s.offset) for s in out["d1"]]
+    assert got == [
+        ("text", "plain intro", None, 0),
+        ("text", LONG + "\ntail note", "src-d1", 1),
+        ("image", "640x480", "img-d1", 2),
+    ]
+
+
+def test_strip_html_spans_passthrough_is_identical(spark):
+    from pdf_parser_spark.functions import boilerplate as bp
+
+    docs = _interleaved(spark)
+    out = {r.doc_id: r.spans
+           for r in bp.strip_html_spans(docs).collect()}
+    src = {r.doc_id: r.spans for r in docs.collect()}
+    assert out["d2"] == src["d2"]
+
+
+def test_strip_html_spans_pure_boilerplate_drops_span_not_doc(spark):
+    """An html span that strips to nothing is dropped like a blank text
+    span — but the DOCUMENT survives (empty spans array → the
+    empty_spans quarantine records it instead of it silently vanishing),
+    and non-html spans (even invalid ones awaiting quarantine) are
+    preserved."""
+    from pdf_parser_spark.functions import boilerplate as bp
+    from pdf_parser_spark.operators import pages as P
+
+    out = {r.doc_id: r.spans
+           for r in bp.strip_html_spans(_interleaved(spark)).collect()}
+    assert out["d3"] == []
+    assert [(s.kind, s.offset) for s in out["d4"]] == [
+        (None, None), ("text", 1)
+    ]
+    quar = P.quarantine_df(
+        P.explode_spans(bp.strip_html_spans(_interleaved(spark)))
+    )
+    kinds = {(r.doc_id, r.error_kind) for r in quar.collect()}
+    assert ("d3", "empty_spans") in kinds
+    assert ("d4", "unknown_kind") in kinds
+
+
+def test_strip_html_spans_single_python_stage(spark):
+    """Only the html subset crosses into Python: the whole normalize
+    plan carries exactly ONE Arrow stage (the tokenizer); scoring,
+    classification, and span re-assembly are JVM-native."""
+    from pdf_parser_spark.functions import boilerplate as bp
+
+    out = bp.strip_html_spans(_interleaved(spark))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_strip_html_spans_matches_page_level_strip(spark):
+    """A single-span html doc strips to exactly main_content_df's text:
+    the span path reuses the page-level classifier, not a re-derivation."""
+    from pyspark.sql import Row
+
+    from pdf_parser_spark.functions import boilerplate as bp
+
+    from pdf_parser_spark.schemas import DOCUMENTS_SPANS
+
+    df = spark.createDataFrame([("dx", PAGE)], ["doc_id", "html"])
+    expected = bp.main_content_df(df).head().main_text
+    docs = spark.createDataFrame(
+        [Row(doc_id="dx",
+             spans=[Row(kind="html", text=PAGE, media_ref=None,
+                        offset=0)])],
+        schema=DOCUMENTS_SPANS,
+    )
+    got = bp.strip_html_spans(docs).head().spans
+    assert [(s.kind, s.text) for s in got] == [("text", expected)]
