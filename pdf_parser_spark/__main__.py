@@ -55,6 +55,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--checkpoint",
                    help="checkpoint/lineage dir (resume/ingest/assembly)")
     p.add_argument("--run-id", default="run-0", help="resume-mode run id")
+    p.add_argument("--normalize-html", action="store_true",
+                   help="pipeline mode: strip raw-HTML payload spans to "
+                        "main-content text spans in place before "
+                        "extraction (for corpora not normalized at "
+                        "ingest)")
     p.add_argument("--master",
                    help="override master (normally left to spark-submit)")
     p.add_argument("--shuffle-partitions", type=int, default=None)
@@ -80,7 +85,10 @@ def main(argv=None, spark=None) -> dict:
             read_table, sub_ref, write_table,
         )
 
-        res = P.run_pipeline(P.read_documents(spark, args.input))
+        res = P.run_pipeline(
+            P.read_documents(spark, args.input),
+            normalize_html=args.normalize_html,
+        )
         counts = {}
         for name in ("spans_out", "quarantine", "pages", "metadata",
                      "toc", "sections", "metrics"):

@@ -338,6 +338,37 @@ def fallback_doc(rng: random.Random, doc_id: str) -> Dict[str, Any]:
     }
 
 
+def _html(html: str) -> Dict[str, Any]:
+    return {"kind": "html", "text": html, "media_ref": None}
+
+
+def html_doc(rng: random.Random, doc_id: str) -> Dict[str, Any]:
+    """F12 (north rule "interleaved text + media documents"): a doc whose
+    middle span carries a RAW HTML payload — link-dense chrome (nav /
+    footer / sidebar) around long content paragraphs.  The ingest
+    normalizer (functions/boilerplate.strip_html_spans) must strip the
+    chrome and rewrite the span to kind='text' in place; an
+    un-normalized corpus quarantines these spans as unknown_kind."""
+    body1 = _para(rng, 6)
+    body2 = _para(rng, 5)
+    html = (
+        f"<html><head><title>Doc {doc_id}</title>"
+        '<style>body{margin:0}</style></head><body>'
+        '<nav><a href="/">Home</a> <a href="/docs">Docs</a> '
+        '<a href="/api">API</a></nav>'
+        f"<div id=\"main\"><p>{body1}</p><p>{body2}</p>"
+        "<p>see also</p></div>"
+        '<div class="sidebar"><a href="/a">Related A</a> '
+        '<a href="/b">Related B</a> trending now</div>'
+        '<footer><a href="/terms">Terms</a> '
+        '<a href="/privacy">Privacy</a></footer></body></html>'
+    )
+    page1 = _page([_t(_para(rng, 3)), _html(html),
+                   _image(f"{doc_id}-img-0", 640, 480)])
+    page2 = _page([_t(_para(rng, 4))])
+    return {"doc_id": doc_id, "pages": [page1, page2]}
+
+
 # ---------------------------------------------------------------------------
 # page-model → span-array flattening
 # ---------------------------------------------------------------------------
@@ -481,6 +512,7 @@ _BENCH_BUILDERS = [
     uncovered_doc,
     no_toc_doc,
     fallback_doc,
+    html_doc,  # north rule: raw-HTML payload spans → ingest normalize
 ]
 
 

@@ -381,3 +381,92 @@ def strip_html_spans(docs: DataFrame, html_kind: str = "html") -> DataFrame:
         )
     )
     return plain.unionByName(respanned)
+
+
+def normalize_html_flat(
+    flat: DataFrame,
+    html_kind: str = "html",
+    cache_html: bool = True,
+    cache_registry: list | None = None,
+) -> DataFrame:
+    """Inline per-invocation variant of ``strip_html_spans`` over the
+    ALREADY-EXPLODED span table (pages.explode_spans_raw output):
+    html rows are rewritten to ``kind='text'`` rows holding the
+    DOM-density main content, in place — same (doc_id, seq, offset,
+    media_ref) — and every other row passes through the untouched
+    ``rest`` branch filter.
+
+    Scale contrast with the ingest-time variant: no ``exists()`` probe
+    over span arrays, no doc-level array rebuild shuffle, no re-explode.
+    The added work is proportional to the html subset only — one Arrow
+    tokenizer crossing over html rows, one (doc_id, seq) block fold,
+    one co-partitioned equi-join back to the html rows' slots — and
+    with ``cache_html`` the (tiny) rewritten-rows table is persisted
+    eagerly so the pipeline's several downstream consumers re-scan
+    ONLY the parquet ``rest`` branch they would scan anyway, never the
+    Python stage.
+
+    Semantic divergence from ``strip_html_spans`` (documented, tested):
+    a span that strips to pure boilerplate stays as a BLANK text span
+    (downstream already drops blank text from assembly — the F6
+    whitespace-doc path) instead of being dropped from the array, so
+    all-boilerplate docs keep their doc_id universe row with no
+    anti-join.  ``seq`` keeps the ORIGINAL exploded position rather
+    than the rebuilt-array position; ordering is unaffected because
+    every consumer orders by (offset, seq) and offsets are unchanged.
+    """
+    is_html = F.col("kind").eqNullSafe(F.lit(html_kind))
+    rest = flat.filter(~is_html)
+    html_rows = flat.filter(is_html)
+
+    slots = html_rows.select("doc_id", "seq", "media_ref", "offset")
+    payload = html_rows.filter(
+        F.col("text").isNotNull() & (F.length("text") > 0)
+    )
+    scored = classify_blocks(
+        score_blocks(parse_span_blocks(payload)),
+        id_cols=("doc_id", "seq"),
+    )
+    # when() without otherwise → NULL for boilerplate blocks, and
+    # collect_list skips NULLs: an all-boilerplate span folds to an
+    # empty array → array_join '' (the blank-span contract above)
+    folded = scored.groupBy("doc_id", "seq").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("is_content"),
+                            F.struct("block_id", "text"),
+                        )
+                    )
+                ),
+                lambda s: s["text"],
+            ),
+            "\n",
+        ).alias("main_text")
+    )
+    # left join back to the slots: covers NULL/empty payloads and spans
+    # whose html parsed to zero blocks (both → blank text spans).  The
+    # join key equals the fold's grouping key, so the exchanges line up.
+    rewritten = (
+        slots.join(folded, ["doc_id", "seq"], "left")
+        .select(
+            "doc_id",
+            "seq",
+            F.lit("text").alias("kind"),
+            F.coalesce("main_text", F.lit("")).alias("text"),
+            "media_ref",
+            "offset",
+        )
+    )
+    if cache_html:
+        from pyspark.storagelevel import StorageLevel
+
+        rewritten = rewritten.persist(StorageLevel.MEMORY_AND_DISK)
+        rewritten.count()
+        if cache_registry is not None:
+            # hand the persist handle to the caller (PipelineResult
+            # unpersists it with the other stage tables — no cache leak)
+            cache_registry.append(rewritten)
+    return rest.unionByName(rewritten)

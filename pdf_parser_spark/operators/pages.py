@@ -32,11 +32,12 @@ TEXTISH = ("text", "heading")
 IMAGEISH = ("image", "figure")
 
 
-def explode_spans(docs: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
-    """(doc_id, spans) → flat (doc_id, seq, kind, text, media_ref, offset,
-    error_kind).  ``error_kind`` null ⇒ valid span; 'empty_spans' rows mark
-    documents whose array is null/empty (posexplode_outer keeps them)."""
-    flat = docs.select(
+def explode_spans_raw(docs: DataFrame) -> DataFrame:
+    """(doc_id, spans) → flat (doc_id, seq, kind, text, media_ref,
+    offset), no validation column yet — the hook for inline span
+    rewrites (boilerplate.normalize_html_flat) that must run BEFORE
+    kind validation."""
+    return docs.select(
         "doc_id",
         F.posexplode_outer("spans").alias("seq", "span"),
     ).select(
@@ -47,7 +48,15 @@ def explode_spans(docs: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> Data
         F.col("span.media_ref").alias("media_ref"),
         F.col("span.offset").alias("offset"),
     )
-    return flat.withColumn("error_kind", error_kind_expr(cfg))
+
+
+def explode_spans(docs: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """(doc_id, spans) → flat (doc_id, seq, kind, text, media_ref, offset,
+    error_kind).  ``error_kind`` null ⇒ valid span; 'empty_spans' rows mark
+    documents whose array is null/empty (posexplode_outer keeps them)."""
+    return explode_spans_raw(docs).withColumn(
+        "error_kind", error_kind_expr(cfg)
+    )
 
 
 def error_kind_expr(cfg: PipelineConfig = DEFAULT_CONFIG) -> F.Column:

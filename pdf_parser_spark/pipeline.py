@@ -43,9 +43,11 @@ class PipelineResult:
     toc: DataFrame
     sections: DataFrame
     metrics: DataFrame
+    extra_cached: tuple = ()
 
     def unpersist(self) -> None:
-        for df in (self.pages, self.metadata, self.toc, self.sections):
+        for df in (self.pages, self.metadata, self.toc,
+                   self.sections, *self.extra_cached):
             try:
                 df.unpersist()
             except Exception:
@@ -66,8 +68,31 @@ def run_pipeline(
     docs: DataFrame,
     cfg: PipelineConfig = DEFAULT_CONFIG,
     cache: bool = True,
+    normalize_html: bool = False,
 ) -> PipelineResult:
-    flat = pages_op.explode_spans(docs, cfg)
+    extra_cached: list = []
+    if normalize_html:
+        # north rule: the corpus interleaves raw-HTML payload spans with
+        # text + media — strip boilerplate and rewrite them to text spans
+        # in place before extraction (kind validation runs AFTER the
+        # rewrite, so normalized html never hits unknown_kind).  Off by
+        # default: production runs normalize once at ingest
+        # (functions/boilerplate.strip_html_spans); this inline variant
+        # is for un-normalized corpora, and its extra work + cache are
+        # proportional to the html-bearing rows only — ``docs`` for the
+        # doc_id-universe consumers (metadata/metrics) stays the raw
+        # scan.
+        from pdf_parser_spark.functions.boilerplate import (
+            normalize_html_flat,
+        )
+
+        flat = normalize_html_flat(
+            pages_op.explode_spans_raw(docs),
+            cache_html=cache,
+            cache_registry=extra_cached,
+        ).withColumn("error_kind", pages_op.error_kind_expr(cfg))
+    else:
+        flat = pages_op.explode_spans(docs, cfg)
     quarantine = pages_op.quarantine_df(flat)
     valid = pages_op.valid_spans(flat)
     spans_out = pages_op.span_sequence_df(valid)
@@ -105,6 +130,7 @@ def run_pipeline(
         toc=toc,
         sections=sections,
         metrics=metrics,
+        extra_cached=tuple(extra_cached),
     )
 
 

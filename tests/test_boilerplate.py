@@ -209,3 +209,62 @@ def test_strip_html_spans_matches_page_level_strip(spark):
     )
     got = bp.strip_html_spans(docs).head().spans
     assert [(s.kind, s.text) for s in got] == [("text", expected)]
+
+
+def test_run_pipeline_normalize_html_end_to_end(spark):
+    """The north-rule composition in ONE call: run_pipeline(
+    normalize_html=True) over a corpus with raw-HTML payload spans
+    extracts the stripped main content as ordinary text spans — no
+    unknown_kind quarantine for html, chrome links absent, body words
+    present in spans_out."""
+    from pdf_parser_spark.fixtures.gen import (
+        _doc_to_spans, html_doc, to_spark_df,
+    )
+    from pdf_parser_spark.pipeline import run_pipeline
+    import random
+
+    rng = random.Random(7)
+    docs = to_spark_df(
+        spark, [_doc_to_spans(html_doc(rng, "hdoc-1"), rng)]
+    )
+    res = run_pipeline(docs, cache=False, normalize_html=True)
+    quar = [r.error_kind for r in res.quarantine.collect()]
+    assert "unknown_kind" not in quar
+    texts = "\n".join(
+        r.text for r in res.spans_out.collect() if r.text
+    )
+    assert "Home" not in texts and "/privacy" not in texts
+    assert "see also" in texts  # smoothing kept the short middle block
+    # without normalization the html span is quarantined instead
+    res2 = run_pipeline(docs, cache=False, normalize_html=False)
+    assert [r.error_kind for r in res2.quarantine.collect()].count(
+        "unknown_kind"
+    ) == 1
+
+
+def test_inline_normalize_matches_ingest_strip(spark):
+    """run_pipeline(normalize_html=True) over a raw corpus produces the
+    same extraction output as strip-at-ingest → run_pipeline: identical
+    spans_out on (doc_id, page, kind, text, media_ref, order) — seq is
+    provenance (original slot vs rebuilt array position) and may
+    differ."""
+    import random
+
+    from pdf_parser_spark.fixtures.gen import (
+        _doc_to_spans, html_doc, media_doc, to_spark_df,
+    )
+    from pdf_parser_spark.pipeline import run_pipeline
+
+    rng = random.Random(11)
+    docs = to_spark_df(spark, [
+        _doc_to_spans(html_doc(rng, "h1"), rng),
+        _doc_to_spans(media_doc(rng, "m1"), rng),
+    ])
+    cols = ["doc_id", "page", "kind", "text", "media_ref", "order"]
+    inline = run_pipeline(docs, cache=False, normalize_html=True)
+    ingest = run_pipeline(
+        bp.strip_html_spans(docs), cache=False, normalize_html=False
+    )
+    a = sorted(map(tuple, inline.spans_out.select(*cols).collect()))
+    b = sorted(map(tuple, ingest.spans_out.select(*cols).collect()))
+    assert a == b and len(a) > 0
