@@ -1765,6 +1765,22 @@ def pipeline_interleaved_html(spark, sf_dir):
     )
 
 
+@q("pipeline_inline_html", _INTERLEAVED_HTML_SQL)
+def pipeline_inline_html(spark, sf_dir):
+    """Same oracle as ``pipeline_interleaved_html``, but through the
+    per-invocation INLINE path — ``run_pipeline(normalize_html=True)``
+    (functions/boilerplate.normalize_html_flat): html rows rewritten in
+    place on the exploded table, no doc-level array rebuild.  A green
+    hash on BOTH queries pins inline ≡ ingest normalization against the
+    same word-arithmetic oracle (here nothing strips to a whole blank
+    span and the synthesized arrays are offset-ordered, so even the
+    provenance ``seq`` coincides)."""
+    from pdf_parser_spark.pipeline import run_pipeline
+
+    docs = synthesize_interleaved(_t(spark, sf_dir, "documents"))
+    return run_pipeline(docs, cache=False, normalize_html=True).spans_out
+
+
 _MEDIA_LINK_SQL = f"""
 WITH {_SYNTH_SPANS_CTE},
 imgs AS (
