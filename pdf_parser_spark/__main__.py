@@ -56,10 +56,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="checkpoint/lineage dir (resume/ingest/assembly)")
     p.add_argument("--run-id", default="run-0", help="resume-mode run id")
     p.add_argument("--normalize-html", action="store_true",
-                   help="pipeline mode: strip raw-HTML payload spans to "
-                        "main-content text spans in place before "
-                        "extraction (for corpora not normalized at "
-                        "ingest)")
+                   help="pipeline/ingest modes: strip raw-HTML payload "
+                        "spans to main-content text spans in place "
+                        "before extraction (for corpora not normalized "
+                        "at ingest time)")
     p.add_argument("--master",
                    help="override master (normally left to spark-submit)")
     p.add_argument("--shuffle-partitions", type=int, default=None)
@@ -136,7 +136,8 @@ def main(argv=None, spark=None) -> dict:
         from pdf_parser_spark.streaming import ingest as I
 
         I.run_available_now(
-            spark, args.input, f"{args.output}/spans_out", ckpt
+            spark, args.input, f"{args.output}/spans_out", ckpt,
+            normalize_html=args.normalize_html,
         )
         return {"mode": "ingest", "out": f"{args.output}/spans_out"}
 

@@ -33,12 +33,28 @@ def read_documents_stream(spark: SparkSession, path: str) -> DataFrame:
 
 
 def spans_out_stream(docs: DataFrame,
-                     cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
+                     cfg: PipelineConfig = DEFAULT_CONFIG,
+                     normalize_html: bool = False) -> DataFrame:
     """Flagship W2 on a stream: the per-doc reassembly uses only
     intra-batch windows keyed by doc_id — valid because a document's spans
     arrive in one file (doc-atomic ingest), so every micro-batch holds
-    whole documents."""
-    flat = pages_op.explode_spans(docs, cfg)
+    whole documents.
+
+    ``normalize_html`` strips raw-HTML payload spans in place first
+    (boilerplate.normalize_html_flat) — use it from ``foreachBatch``
+    (batch DataFrames), where the fold+join it needs are unrestricted;
+    arriving documents then land already normalized, the streaming twin
+    of ingest-time ``strip_html_spans``."""
+    if normalize_html:
+        from pdf_parser_spark.functions.boilerplate import (
+            normalize_html_flat,
+        )
+
+        flat = normalize_html_flat(
+            pages_op.explode_spans_raw(docs), cache_html=False
+        ).withColumn("error_kind", pages_op.error_kind_expr(cfg))
+    else:
+        flat = pages_op.explode_spans(docs, cfg)
     return pages_op.span_sequence_df(pages_op.valid_spans(flat))
 
 
@@ -64,6 +80,7 @@ def run_available_now(
     out_path: str,
     checkpoint: str,
     cfg: PipelineConfig = DEFAULT_CONFIG,
+    normalize_html: bool = False,
 ):
     """Process everything currently available, then stop.  Re-invoking
     after new files land processes ONLY the new files (checkpointed file
@@ -80,7 +97,11 @@ def run_available_now(
     docs = read_documents_stream(spark, in_path)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        write_batch(spans_out_stream(batch_df, cfg), batch_id, out_path)
+        write_batch(
+            spans_out_stream(batch_df, cfg, normalize_html=normalize_html),
+            batch_id,
+            out_path,
+        )
 
     query = (
         docs.writeStream.foreachBatch(process_batch)

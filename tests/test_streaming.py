@@ -82,3 +82,32 @@ def test_batch_replay_is_idempotent(spark):
         assert spark.read.parquet(out_dir).count() == 2 * n_once
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_available_now_normalize_html(spark):
+    """Streaming ingest with normalize_html=True: raw-HTML payload spans
+    land in the output as stripped text spans (chrome links absent,
+    body words present) instead of being silently dropped as
+    unknown_kind."""
+    import random
+
+    from pdf_parser_spark.fixtures.gen import _doc_to_spans, html_doc
+
+    rng = random.Random(23)
+    docs = [_doc_to_spans(html_doc(rng, "sh-1"), rng)]
+    tmp = tempfile.mkdtemp(prefix="stream_html_", dir="/root/repo")
+    try:
+        to_spark_df(spark, docs).coalesce(1).write.mode("append").parquet(
+            f"{tmp}/in"
+        )
+        I.run_available_now(
+            spark, f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt",
+            normalize_html=True,
+        )
+        rows = spark.read.parquet(f"{tmp}/out").collect()
+        text = "\n".join(r.text for r in rows if r.text)
+        assert "see also" in text
+        assert "/privacy" not in text and "Home" not in text
+        assert {r.kind for r in rows} <= {"text", "image"}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
