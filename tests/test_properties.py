@@ -179,3 +179,56 @@ def test_span_sequence_matches_oracle_on_arbitrary_spans(spark, docs):
         ]
         assert sorted(got.get(doc_id, [])) == sorted(want), doc_id
         assert quar.get(doc_id, 0) == len(res["quarantine"]), doc_id
+
+
+html_chunks = st.text(
+    alphabet="ab <>/=\"'pdiv!-&;" + PY_WS, max_size=60
+)
+html_span_tuples = st.tuples(
+    st.sampled_from(["text", "html", "image", "page_break", None]),
+    st.one_of(st.none(), html_chunks),
+    st.one_of(st.none(), st.just("media/ref-1")),
+    st.one_of(st.none(), st.integers(min_value=-3, max_value=60)),
+)
+
+
+@settings(max_examples=8, **SETTINGS)
+@given(st.lists(st.lists(html_span_tuples, max_size=8), min_size=1,
+                max_size=3))
+def test_normalize_html_flat_invariants(spark, docs):
+    """For ARBITRARY spans — malformed/truncated markup, null text,
+    null kinds — inline normalization (a) never loses or invents a
+    span slot: the (doc_id, seq) key set is preserved exactly; (b)
+    passes every non-html row through byte-identical; (c) rewrites
+    every html row to kind='text' with non-null text at the same
+    (media_ref, offset); and (d) is idempotent."""
+    from pdf_parser_spark.functions.boilerplate import normalize_html_flat
+
+    rows = [(f"d{i}", spans) for i, spans in enumerate(docs)]
+    df = spark.createDataFrame(rows, DOCUMENTS_SPANS)
+    flat = P.explode_spans_raw(df)
+    out = normalize_html_flat(flat, cache_html=False)
+
+    src = {(r.doc_id, r.seq): r for r in flat.collect()}
+    got = {(r.doc_id, r.seq): r for r in out.collect()}
+    assert set(src) == set(got)
+    for key, s in src.items():
+        g = got[key]
+        if s.kind == "html":
+            assert g.kind == "text" and g.text is not None
+            assert (g.media_ref, g.offset) == (s.media_ref, s.offset)
+        else:
+            assert (g.kind, g.text, g.media_ref, g.offset) == (
+                s.kind, s.text, s.media_ref, s.offset
+            )
+    again = {
+        (r.doc_id, r.seq): r
+        for r in normalize_html_flat(out, cache_html=False).collect()
+    }
+    assert {
+        k: (v.kind, v.text, v.media_ref, v.offset)
+        for k, v in again.items()
+    } == {
+        k: (v.kind, v.text, v.media_ref, v.offset)
+        for k, v in got.items()
+    }
