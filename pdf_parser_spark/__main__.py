@@ -56,7 +56,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="checkpoint/lineage dir (resume/ingest/assembly)")
     p.add_argument("--run-id", default="run-0", help="resume-mode run id")
     p.add_argument("--normalize-html", action="store_true",
-                   help="pipeline/ingest modes: strip raw-HTML payload "
+                   help="pipeline/resume/ingest modes: strip raw-HTML payload "
                         "spans to main-content text spans in place "
                         "before extraction (for corpora not normalized "
                         "at ingest time)")
@@ -129,6 +129,7 @@ def main(argv=None, spark=None) -> dict:
         return L.run_resumable(
             spark, P.read_documents(spark, args.input), args.output,
             run_id=args.run_id,
+            normalize_html=args.normalize_html,
         )
 
     ckpt = args.checkpoint or f"{args.output}/_checkpoint"

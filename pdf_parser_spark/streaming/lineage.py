@@ -82,6 +82,7 @@ def run_resumable(
     wave_size: int = 8,
     cfg: PipelineConfig = DEFAULT_CONFIG,
     fail_after_waves: int | None = None,
+    normalize_html: bool = False,
 ) -> dict:
     """Process all pending buckets; return a summary.
 
@@ -111,7 +112,9 @@ def run_resumable(
             F.sum(F.size(F.coalesce("spans", F.array()))).alias("spans"),
         )
 
-        result = run_pipeline(wave_docs.drop("bucket"), cfg)
+        result = run_pipeline(
+            wave_docs.drop("bucket"), cfg, normalize_html=normalize_html
+        )
         out = result.spans_out.join(
             bucketed.select("doc_id", "bucket"), "doc_id"
         )
