@@ -50,13 +50,27 @@ def summarize(name: str, df) -> None:
         )
     )
     plan = _executed_tree(raw)
-    exchanges = len(re.findall(r"\bExchange\b", plan))
-    bhj = len(re.findall(r"BroadcastHashJoin", plan))
-    smj = len(re.findall(r"SortMergeJoin", plan))
-    bnl = len(re.findall(r"BroadcastNestedLoopJoin", plan))
+
+    # formatted mode prints every node twice — once in the tree
+    # ("+- * BroadcastHashJoin Inner BuildRight (4)") and once as a
+    # details heading ("(4) BroadcastHashJoin") — so count only tree
+    # lines (they END with the node id) to get real node counts, not
+    # 2× them
+    def nodes(pat: str) -> int:
+        return sum(
+            1
+            for ln in plan.splitlines()
+            if re.search(r"\b(?:%s)\b" % pat, ln)
+            and re.search(r"\(\d+\)\s*$", ln)
+            and not ln.lstrip().startswith("(")
+        )
+
+    exchanges = nodes(r"Exchange|ShuffleQueryStage")
+    bhj = nodes(r"BroadcastHashJoin")
+    smj = nodes(r"SortMergeJoin")
+    bnl = nodes(r"BroadcastNestedLoopJoin")
     codegen = len(re.findall(r"WholeStageCodegen", plan))
-    arrow = len(re.findall(r"ArrowEvalPython|FlatMapGroupsInPandas|"
-                           r"MapInPandas", plan))
+    arrow = nodes(r"ArrowEvalPython|FlatMapGroupsInPandas|MapInPandas")
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     pushed = [p for p in pushed if p.strip()]
     print(
@@ -84,6 +98,7 @@ def main() -> None:
         "sim_cosine_topk",
         "text_token_counts",
         "pipeline_span_sequence",
+        "pipeline_inline_html",
     ]:
         summarize(name, qs[name](spark, sf_dir))
 
@@ -113,6 +128,11 @@ def main() -> None:
     meta.count()
     toc = T.toc_entries_df(pages, meta, persist=True).persist()
     toc.count()
+    # with toc itself cached this row reads ~all-zeros (a bare cache
+    # scan) — the authoritative per-stage plan assertions live in
+    # tests/test_plans.py (single Arrow stage, single exchange, etc.);
+    # the un-persisted printout here duplicates shared lazy subtrees
+    # hundreds of times and measures the PRINTER, not the job
     summarize("stage:toc(cached-in)", toc)
     sec = S.sections_df(pages, toc, meta, persist=True)
     summarize("stage:sections(cached-in)", sec)
