@@ -56,7 +56,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="checkpoint/lineage dir (resume/ingest/assembly)")
     p.add_argument("--run-id", default="run-0", help="resume-mode run id")
     p.add_argument("--normalize-html", action="store_true",
-                   help="pipeline/resume/ingest modes: strip raw-HTML payload "
+                   help="pipeline/resume/ingest/bucketize modes: strip raw-HTML "
                         "spans to main-content text spans in place "
                         "before extraction (for corpora not normalized "
                         "at ingest time)")
@@ -111,8 +111,19 @@ def main(argv=None, spark=None) -> dict:
                     "iceberg:<catalog.db.table>"
                 )
             ref = ref[len(T.TABLE_PREFIX):]
+        docs = P.read_documents(spark, args.input)
+        if args.normalize_html:
+            # ingest-time normalization composes with the re-layout:
+            # strip raw-HTML spans ONCE (doc-level strip_html_spans —
+            # the output keeps the (doc_id, spans) array shape) while
+            # paying the one write the bucketing does anyway
+            from pdf_parser_spark.functions.boilerplate import (
+                strip_html_spans,
+            )
+
+            docs = strip_html_spans(docs)
         T.write_bucketed_table(
-            P.read_documents(spark, args.input),
+            docs,
             args.output if T.is_iceberg_ref(args.output) else ref,
             n_buckets=args.buckets,
             bucket_col="doc_id",

@@ -79,3 +79,47 @@ def test_main_bucketize_then_pipeline_from_table(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS docs_bucketed_cli_test")
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_main_bucketize_normalize_html(spark):
+    """bucketize --normalize-html strips raw-HTML spans during the
+    one-time re-layout: the bucketed table holds pre-normalized docs, so
+    a plain (no-flag) pipeline over it quarantines nothing as
+    unknown_kind and emits the stripped content."""
+    import random
+
+    from pdf_parser_spark.fixtures.gen import _doc_to_spans, html_doc
+
+    rng = random.Random(31)
+    docs = [_doc_to_spans(html_doc(rng, f"bh-{i}"), rng) for i in range(3)]
+    tmp = tempfile.mkdtemp(prefix="main_nh_", dir="/root/repo")
+    try:
+        to_spark_df(spark, docs).write.parquet(f"{tmp}/in")
+        summary = main(
+            ["--mode", "bucketize", "--input", f"{tmp}/in",
+             "--output", "table:docs_nh_cli_test",
+             "--buckets", "2", "--table-path", f"{tmp}/bucketed",
+             "--normalize-html"],
+            spark=spark,
+        )
+        assert summary["docs"] == 3
+        tbl = spark.table("docs_nh_cli_test")
+        kinds = {
+            s.kind for r in tbl.collect() for s in (r.spans or [])
+        }
+        assert "html" not in kinds and "text" in kinds
+        counts = main(
+            ["--mode", "pipeline", "--input", "table:docs_nh_cli_test",
+             "--output", f"{tmp}/out"],
+            spark=spark,
+        )
+        assert counts["quarantine"] == 0
+        texts = [
+            r.text for r in spark.read.parquet(f"{tmp}/out/spans_out")
+            .collect() if r.text
+        ]
+        assert any("see also" in t for t in texts)
+        assert not any("/privacy" in t for t in texts)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS docs_nh_cli_test")
+        shutil.rmtree(tmp, ignore_errors=True)
