@@ -2380,6 +2380,52 @@ def multimodal_decode_png(spark, sf_dir):
     )
 
 
+_GIF_DECODE_SQL = """
+WITH refs AS (
+  SELECT DISTINCT 'img-' || CAST(doc_id AS VARCHAR) AS media_ref
+  FROM documents),
+h AS (SELECT media_ref, md5(media_ref) AS hx FROM refs),
+d AS (
+  SELECT media_ref,
+         16 * (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1)
+           + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) + 16 AS w,
+         16 * (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1)
+           + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1) + 16 AS h,
+         (16 * (strpos('0123456789abcdef', substr(hx, 5, 1)) - 1)
+           + (strpos('0123456789abcdef', substr(hx, 6, 1)) - 1)) % 4 + 1
+           AS nf
+  FROM h)
+SELECT media_ref,
+       'video' AS media_type,
+       CAST(14 + 14 * nf AS BIGINT) AS n_bytes,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(nf AS INT) AS n_frames,
+       'ok' AS decode_status
+FROM d
+"""
+
+
+@q("multimodal_decode_gif", _GIF_DECODE_SQL)
+def multimodal_decode_gif(spark, sf_dir):
+    """REAL animation decode (the video-shaped case) under driver
+    verification: native-expression multi-frame GIF89a payloads (header
+    + n image-descriptor blocks assembled as hex) flow through the
+    fake=False mapInPandas decoder, whose block-walk counts frames and
+    reads canvas dims WITHOUT LZW decompression; the oracle recomputes
+    dims / frame count / byte length arithmetically from the
+    md5-derived fixture values."""
+    from pdf_parser_spark.functions import multimodal as mm
+
+    docs = synthesize_spans(_t(spark, sf_dir, "documents"))
+    media = mm.synthesize_gif_media(docs)
+    feats = mm.decode_features(media, fake=False)
+    return feats.select(
+        "media_ref", "media_type", "n_bytes", "width", "height",
+        "n_frames", "decode_status",
+    )
+
+
 _RESIZE_SQL = """
 WITH refs AS (
   SELECT DISTINCT 'img-' || CAST(doc_id AS VARCHAR) AS media_ref

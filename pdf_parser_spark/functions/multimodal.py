@@ -5,7 +5,8 @@ Two decode paths through the SAME dataflow:
 
 - **real** (default): stdlib decoders for the formats this container can
   parse — PNG header decode (width/height from the IHDR chunk via
-  ``struct``) and WAV decode (sample rate / frame count → duration via
+  ``struct``), GIF block-walk (canvas dims + frame count, no LZW
+  decompression) and WAV decode (sample rate / frame count → duration via
   ``wave``).  Payloads in any other format yield a structured
   ``decode_status='unsupported_format'`` row (the quarantine-column
   philosophy — never a task failure).  Heavier codecs (JPEG, video,
@@ -59,9 +60,10 @@ FEATURES_SCHEMA = StructType(
         StructField("media_ref", StringType()),
         StructField("media_type", StringType()),
         StructField("n_bytes", LongType()),
-        StructField("width", IntegerType()),       # PNG decode
-        StructField("height", IntegerType()),      # PNG decode
+        StructField("width", IntegerType()),       # PNG / GIF decode
+        StructField("height", IntegerType()),      # PNG / GIF decode
         StructField("duration_ms", LongType()),    # WAV decode
+        StructField("n_frames", IntegerType()),    # GIF decode (video)
         StructField("feature", ArrayType(DoubleType())),  # fixed dim 8
         StructField("decode_status", StringType()),
     ]
@@ -109,39 +111,97 @@ def decode_wav_duration_ms(payload: bytes):
         return None
 
 
+def decode_gif_meta(payload: bytes):
+    """(width, height, n_frames) from a GIF87a/89a payload, or None.
+
+    Pure block-walk over the public GIF grammar — logical screen
+    descriptor for the canvas dims, then one count per image descriptor
+    (0x2C), skipping extensions (0x21), color tables, and LZW data
+    sub-blocks WITHOUT decompressing anything: frame counting for the
+    video-shaped case needs structure, not pixels."""
+    if (
+        payload is None
+        or len(payload) < 13
+        or payload[:6] not in (b"GIF87a", b"GIF89a")
+    ):
+        return None
+    w, h = struct.unpack("<HH", payload[6:10])
+    pos = 13
+    if payload[10] & 0x80:  # global color table
+        pos += 3 * (2 ** ((payload[10] & 0x07) + 1))
+    frames = 0
+    try:
+        while pos < len(payload):
+            b0 = payload[pos]
+            if b0 == 0x3B:  # trailer
+                return (w, h, frames)
+            if b0 == 0x21:  # extension: introducer + label + sub-blocks
+                pos += 2
+                while payload[pos] != 0:
+                    pos += 1 + payload[pos]
+                pos += 1
+            elif b0 == 0x2C:  # image descriptor
+                frames += 1
+                pos += 10
+                lpacked = payload[pos - 1]
+                if lpacked & 0x80:  # local color table
+                    pos += 3 * (2 ** ((lpacked & 0x07) + 1))
+                pos += 1  # LZW minimum code size
+                while payload[pos] != 0:
+                    pos += 1 + payload[pos]
+                pos += 1
+            else:
+                return None  # corrupt block stream
+    except IndexError:
+        return None
+    return None  # ran off the end without a trailer
+
+
+_NO_DECODE = {
+    "width": None,
+    "height": None,
+    "duration_ms": None,
+    "n_frames": None,
+}
+
+
 def _decode_one(payload) -> dict:
     """Real per-item decode (runs inside the Arrow batch loop)."""
     b = bytes(payload or b"")
     dims = decode_png_dims(b)
     if dims is not None:
         return {
+            **_NO_DECODE,
             "width": dims[0],
             "height": dims[1],
-            "duration_ms": None,
+            "decode_status": "ok",
+        }
+    gif = decode_gif_meta(b)
+    if gif is not None:
+        return {
+            **_NO_DECODE,
+            "width": gif[0],
+            "height": gif[1],
+            "n_frames": gif[2],
             "decode_status": "ok",
         }
     ms = decode_wav_duration_ms(b)
     if ms is not None:
         return {
-            "width": None,
-            "height": None,
+            **_NO_DECODE,
             "duration_ms": ms,
             "decode_status": "ok",
         }
-    return {
-        "width": None,
-        "height": None,
-        "duration_ms": None,
-        "decode_status": "unsupported_format",
-    }
+    return {**_NO_DECODE, "decode_status": "unsupported_format"}
 
 
 def decode_features(media: DataFrame, fake: bool = False) -> DataFrame:
     """mapInPandas over media rows → per-item feature/metadata rows.
 
     One Arrow batch at a time — never the whole partition in memory.
-    The real path (default) decodes PNG dimensions and WAV durations
-    with the stdlib; other formats come back as structured
+    The real path (default) decodes PNG dimensions, GIF dimensions +
+    frame counts (the video-shaped case), and WAV durations with the
+    stdlib; other formats come back as structured
     ``unsupported_format`` rows.  ``fake=True`` swaps the decoder for
     the deterministic digest feature (identical dataflow)."""
 
@@ -165,6 +225,9 @@ def decode_features(media: DataFrame, fake: bool = False) -> DataFrame:
                         "duration_ms": pd.Series(
                             [None] * len(pdf), dtype="object"
                         ),
+                        "n_frames": pd.Series(
+                            [None] * len(pdf), dtype="object"
+                        ),
                         "feature": pdf["payload"].map(
                             lambda p: _fake_feature(bytes(p or b""))
                         ),
@@ -184,6 +247,7 @@ def decode_features(media: DataFrame, fake: bool = False) -> DataFrame:
                     "width": decoded["width"],
                     "height": decoded["height"],
                     "duration_ms": decoded["duration_ms"],
+                    "n_frames": decoded["n_frames"],
                     # a learned feature needs a vision/audio model — out
                     # of scope for the stdlib decoders
                     "feature": pd.Series([None] * len(pdf), dtype="object"),
@@ -669,6 +733,57 @@ def synthesize_png_media(docs: DataFrame) -> DataFrame:
         "media_ref",
         F.lit("image").alias("media_type"),
         F.unhex(png_hex).alias("payload"),
+        width.alias("width"),
+        height.alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+    )
+
+
+def _le16_hex(v: F.Column) -> F.Column:
+    """Little-endian u16 as 4 hex chars (byte-swapped big-endian hex)."""
+    be = F.lpad(F.hex(v), 4, "0")
+    return F.concat(F.substring(be, 3, 2), F.substring(be, 1, 2))
+
+
+def synthesize_gif_media(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL-format animation payloads (the video-shaped
+    case): one minimal multi-frame GIF89a per distinct image media_ref,
+    built entirely with native expressions (hex → ``unhex``).
+
+    Canvas dims 16..271 from md5 bytes 1-2/3-4, frame count 1..4 from
+    byte 5.  Each frame is an image descriptor + 1-bit LZW stub data
+    sub-block — structurally valid for the block-walk decoder
+    (``decode_gif_meta`` skips data without decompressing), so the
+    fixture needs no LZW encoder."""
+    refs = (
+        docs.select(F.explode("spans").alias("s"))
+        .filter(F.col("s.kind").isin("image", "figure"))
+        .select(F.col("s.media_ref").alias("media_ref"))
+        .filter(F.col("media_ref").isNotNull())
+        .distinct()
+    )
+    h = F.md5(F.col("media_ref"))
+    width = (F.conv(F.substring(h, 1, 2), 16, 10).cast("int") + 16)
+    height = (F.conv(F.substring(h, 3, 2), 16, 10).cast("int") + 16)
+    n_frames = (F.conv(F.substring(h, 5, 2), 16, 10).cast("int") % 4 + 1)
+    # per frame: 2C | left=0 top=0 | w,h LE | packed=00 | LZW min code 02
+    # | one 1-byte data sub-block | 00 terminator  (14 bytes)
+    frame_hex = F.concat(
+        F.lit("2C"), F.lit("00000000"),
+        _le16_hex(width), _le16_hex(height),
+        F.lit("00"), F.lit("02"), F.lit("0100"), F.lit("00"),
+    )
+    gif_hex = F.concat(
+        F.lit("474946383961"),            # 'GIF89a'
+        _le16_hex(width), _le16_hex(height),
+        F.lit("000000"),                  # packed (no GCT), bg, aspect
+        F.repeat(frame_hex, n_frames),
+        F.lit("3B"),                      # trailer
+    )
+    return refs.select(
+        "media_ref",
+        F.lit("video").alias("media_type"),
+        F.unhex(gif_hex).alias("payload"),
         width.alias("width"),
         height.alias("height"),
         F.lit(None).cast("long").alias("duration_ms"),

@@ -702,3 +702,42 @@ def test_non_blank_matches_python_strip_truthiness(spark):
     }
     want = {i: bool((s or "").strip()) for i, s in rows}
     assert got == want
+
+
+def test_gif_block_walk_decode():
+    """decode_gif_meta on a FOREIGN-style GIF (global color table,
+    graphic-control + comment extensions, local color table on frame 2)
+    and on malformed payloads — the block-walk must count frames without
+    LZW decompression and refuse corrupt streams structurally."""
+    from pdf_parser_spark.functions import multimodal as mm
+
+    def frame(w, h, local_bits=None):
+        lct = b""
+        packed = 0
+        if local_bits is not None:  # local color table precedes LZW data
+            packed = 0x80 | (local_bits - 1)
+            lct = bytes(3 * (2 ** local_bits))
+        return (
+            b"\x2c" + b"\x00\x00\x00\x00"
+            + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+            + bytes([packed]) + lct
+            + b"\x02" + b"\x02\xaa\xbb" + b"\x00"
+        )
+
+    gct = bytes(3 * 4)  # 2-bit global color table (4 entries)
+    gce = b"\x21\xf9\x04\x00\x0a\x00\x00\x00"          # graphic control
+    comment = b"\x21\xfe\x05hello\x00"                  # comment ext
+    gif = (
+        b"GIF89a" + (300).to_bytes(2, "little") + (200).to_bytes(2, "little")
+        + bytes([0x80 | 0x01]) + b"\x00\x00" + gct
+        + gce + frame(300, 200) + comment + frame(10, 10, local_bits=2)
+        + b"\x3b"
+    )
+    assert mm.decode_gif_meta(gif) == (300, 200, 2)
+    # truncated mid-frame → None (not a crash); junk → None; GIF87a ok
+    assert mm.decode_gif_meta(gif[:-10]) is None
+    assert mm.decode_gif_meta(b"NOTAGIF" * 4) is None
+    assert mm.decode_gif_meta(b"GIF87a" + gif[6:]) == (300, 200, 2)
+    assert mm._decode_one(b"junkjunkjunkjunk")["decode_status"] == (
+        "unsupported_format"
+    )
