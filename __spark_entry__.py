@@ -2,7 +2,7 @@
 
 ``entry(spark)`` runs the flagship W2 span-sequence extraction on the
 sf0.001 slice; ``queries()``/``oracle_sql()`` expose the operator registry
-in ``pdf_parser_spark.driver_queries`` — 68 queries, every one with a
+in ``pdf_parser_spark.driver_queries`` — 69 queries, every one with a
 DuckDB value-hash oracle.  That includes the flagship, the zero-TOC
 pipeline composites, AND (round 3) the TOC-BEARING composites
 ``pipeline_toc`` / ``pipeline_toc_sections`` / ``pipeline_toc_metrics``,

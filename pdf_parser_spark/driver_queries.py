@@ -2426,6 +2426,60 @@ def multimodal_decode_gif(spark, sf_dir):
     )
 
 
+_GIF_SAMPLE_SQL = """
+WITH refs AS (
+  SELECT DISTINCT 'img-' || CAST(doc_id AS VARCHAR) AS media_ref
+  FROM documents),
+h AS (SELECT media_ref, md5(media_ref) AS hx FROM refs),
+d AS (
+  SELECT media_ref,
+         16 * (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1)
+           + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) + 16 AS w,
+         16 * (strpos('0123456789abcdef', substr(hx, 3, 1)) - 1)
+           + (strpos('0123456789abcdef', substr(hx, 4, 1)) - 1) + 16 AS h,
+         (16 * (strpos('0123456789abcdef', substr(hx, 5, 1)) - 1)
+           + (strpos('0123456789abcdef', substr(hx, 6, 1)) - 1)) % 4 + 1
+           AS nf
+  FROM h)
+SELECT media_ref,
+       CAST(nf AS BIGINT) AS orig_frames,
+       CAST((nf + 1) // 2 AS BIGINT) AS frames,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST((nf + 1) // 2 AS INT) AS redecoded_frames,
+       CAST(14 + 14 * ((nf + 1) // 2) AS BIGINT) AS n_bytes,
+       'ok' AS sample_status
+FROM d
+"""
+
+
+@q("multimodal_gif_frame_sample", _GIF_SAMPLE_SQL)
+def multimodal_gif_frame_sample(spark, sf_dir):
+    """Video-shaped frame sampling round trip under driver verification:
+    synthesized multi-frame GIFs → sample_frames(every_n=2) (byte-range
+    block copy, no LZW decode) → the SAMPLED payload re-decoded by the
+    block-walk — kept count, unchanged canvas dims, and exact output
+    byte length all recomputed arithmetically by the oracle."""
+    from pdf_parser_spark.functions import multimodal as mm
+
+    docs = synthesize_spans(_t(spark, sf_dir, "documents"))
+    sampled = mm.sample_frames(mm.synthesize_gif_media(docs), every_n=2)
+    redec = mm.decode_features(
+        sampled.select("media_ref", "media_type", "payload"), fake=False
+    )
+    return (
+        sampled.select("media_ref", "orig_frames", "frames")
+        .join(
+            redec.select(
+                "media_ref", "width", "height",
+                F.col("n_frames").alias("redecoded_frames"), "n_bytes",
+            ),
+            "media_ref",
+        )
+        .withColumn("sample_status", F.lit("ok"))
+    )
+
+
 _RESIZE_SQL = """
 WITH refs AS (
   SELECT DISTINCT 'img-' || CAST(doc_id AS VARCHAR) AS media_ref

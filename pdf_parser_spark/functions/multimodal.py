@@ -509,14 +509,65 @@ SAMPLE_SCHEMA = StructType(
 )
 
 
+def sample_gif_frames(payload: bytes, every_n: int) -> tuple | None:
+    """Keep every ``every_n``-th image-descriptor block of a GIF (frames
+    0, n, 2n, ...) by BYTE-RANGE copy — no LZW decompression: kept
+    frames' compressed data is moved verbatim.  Extension blocks that
+    immediately precede a frame (graphic control etc.) travel with it —
+    kept with a kept frame, dropped with a dropped one.  Returns
+    (n_frames_in, n_frames_kept, new_payload) or None if not a GIF."""
+    meta = decode_gif_meta(payload)
+    if meta is None:
+        return None
+    out = bytearray(payload[:13])
+    pos = 13
+    if payload[10] & 0x80:
+        end = pos + 3 * (2 ** ((payload[10] & 0x07) + 1))
+        out += payload[pos:end]
+        pos = end
+    frames_in = frames_kept = 0
+    pending = bytearray()  # extensions riding with the NEXT frame
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x3B:
+            break
+        start = pos
+        if b0 == 0x21:
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+            pending += payload[start:pos]
+            continue
+        # image descriptor (decode_gif_meta already validated the walk)
+        pos += 10
+        if payload[pos - 1] & 0x80:
+            pos += 3 * (2 ** ((payload[pos - 1] & 0x07) + 1))
+        pos += 1
+        while payload[pos] != 0:
+            pos += 1 + payload[pos]
+        pos += 1
+        if frames_in % every_n == 0:
+            out += pending + payload[start:pos]
+            frames_kept += 1
+        frames_in += 1
+        pending = bytearray()
+    out += b"\x3b"
+    return (frames_in, frames_kept, bytes(out))
+
+
 def sample_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
-    """Frame sampling as an Arrow-batched ``mapInPandas`` stage: keep
-    every ``every_n``-th frame of each PCM16 WAV payload (frames 0, n,
-    2n, ...) and re-encode at ``rate // every_n`` so playback duration
-    is preserved.  This is the audio instance of the generic
-    frame-sample operator (video frame sampling plugs into the same
-    dataflow when a codec is available; non-WAV payloads come back as
-    structured ``unsupported_format`` rows).  No shuffle, one pass."""
+    """Frame sampling as an Arrow-batched ``mapInPandas`` stage, over
+    BOTH temporal formats this container can really parse:
+
+    - PCM16 WAV: keep every ``every_n``-th sample and re-encode at
+      ``rate // every_n`` so playback duration is preserved;
+    - GIF animation (the video-shaped case): keep every
+      ``every_n``-th image-descriptor block by byte-range copy — kept
+      frames' compressed LZW data moves verbatim, nothing decompressed.
+
+    Other payloads come back as structured ``unsupported_format`` rows.
+    No shuffle, one pass."""
 
     cols = list(SAMPLE_SCHEMA.fieldNames())
 
@@ -527,12 +578,7 @@ def sample_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
                 pdf["media_ref"], pdf["media_type"], pdf["payload"]
             ):
                 dec = decode_wav_pcm16(payload)
-                if dec is None:
-                    rows.append(
-                        (ref, mtype, None, None, None, None,
-                         "unsupported_format")
-                    )
-                else:
+                if dec is not None:
                     rate, samples = dec
                     kept = samples[::every_n]
                     out_rate = max(1, rate // every_n)
@@ -540,6 +586,17 @@ def sample_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
                         (ref, mtype, len(samples), len(kept), out_rate,
                          encode_wav_pcm16(kept, out_rate), "ok")
                     )
+                    continue
+                gif = sample_gif_frames(bytes(payload or b""), every_n)
+                if gif is not None:
+                    rows.append(
+                        (ref, mtype, gif[0], gif[1], None, gif[2], "ok")
+                    )
+                    continue
+                rows.append(
+                    (ref, mtype, None, None, None, None,
+                     "unsupported_format")
+                )
             yield pd.DataFrame(rows, columns=cols)
 
     return media.mapInPandas(batches, SAMPLE_SCHEMA)

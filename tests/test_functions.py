@@ -741,3 +741,42 @@ def test_gif_block_walk_decode():
     assert mm._decode_one(b"junkjunkjunkjunk")["decode_status"] == (
         "unsupported_format"
     )
+
+
+def test_gif_frame_sampling_byte_exact(spark):
+    """sample_frames over synthesized multi-frame GIFs: keeps frames
+    0, n, 2n... by byte-range copy, output re-decodes to the kept count
+    with unchanged canvas dims; a trailing graphic-control extension
+    attached to a dropped frame is dropped with it."""
+    from pdf_parser_spark.functions import multimodal as mm
+
+    docs = spark.createDataFrame(
+        [("d1", [("image", "x", "gif-a", 0)]),
+         ("d2", [("figure", "x", "gif-b", 0)])],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    media = mm.synthesize_gif_media(docs)
+    out = {r.media_ref: r for r in
+           mm.sample_frames(media, every_n=2).collect()}
+    for r in media.collect():
+        s = out[r.media_ref]
+        assert s.sample_status == "ok" and s.rate is None
+        w, h, n_in = mm.decode_gif_meta(bytes(r.payload))
+        assert s.orig_frames == n_in
+        assert s.frames == (n_in + 1) // 2
+        assert mm.decode_gif_meta(bytes(s.payload)) == (
+            w, h, (n_in + 1) // 2
+        )
+
+    # extension attribution: GCE+frame, GCE+frame → sampling every 2nd
+    # keeps frame 0 WITH its GCE and drops frame 1 AND its GCE
+    gce = b"\x21\xf9\x04\x00\x0a\x00\x00\x00"
+    f = (b"\x2c\x00\x00\x00\x00\x05\x00\x05\x00\x00"
+         b"\x02\x02\xaa\xbb\x00")
+    gif = (b"GIF89a\x05\x00\x05\x00\x00\x00\x00"
+           + gce + f + gce + f + b"\x3b")
+    n_in, n_kept, sampled = mm.sample_gif_frames(gif, 2)
+    assert (n_in, n_kept) == (2, 1)
+    assert sampled.count(gce) == 1
+    assert mm.decode_gif_meta(sampled) == (5, 5, 1)
