@@ -183,9 +183,13 @@ def main() -> None:
 
     # --- relational/curation headline queries at sf_dir ------------------
     if not os.environ.get("SPARK_GRAFT_BENCH_SKIP_RELATIONAL"):
-        all_q = dq.queries()
+        # module attributes, not dq.queries(): some benched queries are
+        # suite members rather than registered composites
         for name in RELATIONAL:
-            timed(name, lambda n=name: all_q[n](spark, sf_dir).count())
+            timed(
+                name,
+                lambda n=name: getattr(dq, n)(spark, sf_dir).count(),
+            )
 
     # --- physical-layout A/B: the W2 reassembly over the ad-hoc parquet
     # corpus (one doc_id exchange) vs the doc_id-bucketed table (zero

@@ -86,7 +86,13 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     spark = get_spark(master="local[8]", shuffle_partitions=8)
 
-    qs = dq.queries()
+    # module attributes: some audited queries are suite members rather
+    # than registered composites
+    qs = {
+        name: getattr(dq, name)
+        for name in dir(dq)
+        if callable(getattr(dq, name, None))
+    }
     for name in [
         "f1_page_prune",
         "a1_tpch_pricing_summary",
