@@ -46,6 +46,10 @@ class PipelineConfig:
     mega_doc_span_threshold: int = 100_000
     #: number of salt buckets for mega-doc two-phase reassembly.
     salt_buckets: int = 16
+    #: apply the two-phase mega-doc W2 path in run_pipeline (operators/
+    #: pages.span_sequence_skew_df); False keeps the bare single-window
+    #: plan (no mega-detection pass) for corpora known to be bounded.
+    mega_doc_salting: bool = True
 
     # --- span-kind vocabulary (SURVEY.md §1.4) ---
     text_kinds: tuple = ("text", "heading")

@@ -832,7 +832,19 @@ def dedup_exact(spark, sf_dir):
     return dd.exact_duplicates(docs)
 
 
-_MINHASH_SQL = """
+def _minhash_slot_sql(i: int) -> str:
+    """DuckDB expression for minhash slot i: window ``i % 4`` of shingle
+    digest ``i // 4`` (digest 0 = md5(s), digest g = md5('g:' || s))."""
+    g, j = divmod(i, 4)
+    dig = "md5(s)" if g == 0 else f"md5('{g}:' || s)"
+    return (
+        f"list_min(list_transform(shingles, s -> "
+        f"substr({dig}, {8 * j + 1}, 8)))"
+    )
+
+
+_N_MINHASH = 64
+_MINHASH_SQL = f"""
 WITH norm AS (
   SELECT doc_id,
          string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
@@ -843,39 +855,71 @@ sh AS (
          list_transform(
            generate_series(1, greatest(length(ws) - 2, 1)),
            i -> array_to_string(ws[i:i+2], ' ')) AS shingles
-  FROM norm)
+  FROM norm),
+sigs AS (
+  SELECT doc_id,
+         [{", ".join(_minhash_slot_sql(i) for i in range(_N_MINHASH))}]
+             AS sig
+  FROM sh)
 SELECT doc_id,
-       list_min(list_transform(shingles, s -> substr(md5(s), 1, 8))) AS sig0,
-       list_min(list_transform(shingles, s -> substr(md5(s), 9, 8))) AS sig1,
-       list_min(list_transform(shingles, s -> substr(md5(s), 17, 8))) AS sig2,
-       list_min(list_transform(shingles, s -> substr(md5(s), 25, 8))) AS sig3
-FROM sh
+       sig[1] AS sig0,
+       sig[{_N_MINHASH}] AS sig{_N_MINHASH - 1},
+       md5(array_to_string(sig, '|')) AS sig_digest
+FROM sigs
 """
 
 
 @q("dedup_minhash_signature", _MINHASH_SQL)
 def dedup_minhash_signature(spark, sf_dir):
-    """MinHash signatures (4 hashes, 3-word shingles) — md5-portable."""
+    """MinHash signatures at the 100-TB-safe width — 64 seeded-md5
+    hashes (ADVICE r3 lifted the old n<=4 cap), 3-word shingles.  The
+    value hash pins the first and last slot plus an md5 digest of ALL
+    64 slots, so every slot is verified at full fidelity without 64
+    output columns."""
     sigs = dd.minhash_df(
-        _t(spark, sf_dir, "documents"), n_hashes=4, k=3
+        _t(spark, sf_dir, "documents"), n_hashes=_N_MINHASH, k=3
     )
     return sigs.select(
         F.col("id").alias("doc_id"),
         F.col("sig")[0].alias("sig0"),
-        F.col("sig")[1].alias("sig1"),
-        F.col("sig")[2].alias("sig2"),
-        F.col("sig")[3].alias("sig3"),
+        F.col("sig")[_N_MINHASH - 1].alias(f"sig{_N_MINHASH - 1}"),
+        F.md5(F.array_join("sig", "|")).alias("sig_digest"),
     )
 
 
-_LSH_PAIRS_SQL = f"""
-WITH sigs AS ({_MINHASH_SQL}),
-bands AS (
-  SELECT doc_id, 0 AS band_idx, md5(sig0 || '|' || sig1) AS band_key
-  FROM sigs
+_PLANTED_CORPUS_SQL = """
+  SELECT 'o' || CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
   UNION ALL
-  SELECT doc_id, 1 AS band_idx, md5(sig2 || '|' || sig3) AS band_key
-  FROM sigs)
+  SELECT 'v' || CAST(doc_id AS VARCHAR) AS doc_id,
+         text || ' zznearduplicate' AS text
+  FROM documents WHERE CAST(doc_id AS BIGINT) % 5 = 0
+"""
+
+_LSH_PAIRS_SQL = f"""
+WITH corpus AS ({_PLANTED_CORPUS_SQL}),
+norm AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                      ' ') AS ws
+  FROM corpus),
+sh AS (
+  SELECT doc_id,
+         list_transform(
+           generate_series(1, greatest(length(ws) - 2, 1)),
+           i -> array_to_string(ws[i:i+2], ' ')) AS shingles
+  FROM norm),
+sigs AS (
+  SELECT doc_id,
+         [{", ".join(_minhash_slot_sql(i) for i in range(_N_MINHASH))}]
+             AS sig
+  FROM sh),
+bands AS (
+  SELECT doc_id, b.band_idx,
+         md5(array_to_string(
+           sig[b.band_idx * 16 + 1 : b.band_idx * 16 + 16], '|'))
+             AS band_key
+  FROM sigs,
+       (SELECT unnest(generate_series(0, 3)) AS band_idx) b)
 SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
 FROM bands l JOIN bands r
   ON l.band_idx = r.band_idx AND l.band_key = r.band_key
@@ -883,11 +927,42 @@ FROM bands l JOIN bands r
 """
 
 
+def _planted_corpus(spark, sf_dir):
+    """'o'-prefixed originals plus a 'v'-prefixed near-dup variant
+    (one appended word) for every 5th doc — gives the near-dup
+    detectors true positives to find at the tight 4-band × 16-row
+    operating point, where random web docs never collide."""
+    docs = _t(spark, sf_dir, "documents")
+    orig = docs.select(
+        F.concat(F.lit("o"), F.col("doc_id").cast("string")).alias(
+            "doc_id"
+        ),
+        "text",
+    )
+    variants = docs.filter(
+        F.col("doc_id").cast("bigint") % 5 == 0
+    ).select(
+        F.concat(F.lit("v"), F.col("doc_id").cast("string")).alias(
+            "doc_id"
+        ),
+        F.concat(F.col("text"), F.lit(" zznearduplicate")).alias("text"),
+    )
+    return orig.unionByName(variants)
+
+
 @q("dedup_lsh_pairs", _LSH_PAIRS_SQL)
 def dedup_lsh_pairs(spark, sf_dir):
-    """MinHash-LSH near-duplicate candidate pairs (2 bands × 2 rows)."""
+    """MinHash-LSH near-duplicate candidate pairs at the corpus-scale
+    operating point: 64 hashes, 4 bands × 16 rows (s* ≈ 0.92, false-
+    candidate rate at Jaccard 0.5 ≈ 6×10^-5 — vs ~44% for the old 2×2
+    banding).  Runs over the planted corpus so the tight bands have
+    true near-dups (appended-word variants, shingle Jaccard ≈ 0.99) to
+    recover."""
     return dd.lsh_candidate_pairs(
-        _t(spark, sf_dir, "documents"), n_hashes=4, k=3, n_bands=2
+        _planted_corpus(spark, sf_dir),
+        n_hashes=_N_MINHASH,
+        k=3,
+        n_bands=4,
     ).select(
         F.col("id_a").alias("id_a"), F.col("id_b").alias("id_b")
     )
@@ -895,11 +970,12 @@ def dedup_lsh_pairs(spark, sf_dir):
 
 _JACCARD_SQL = f"""
 WITH pairs AS ({_LSH_PAIRS_SQL}),
+corpus AS ({_PLANTED_CORPUS_SQL}),
 norm AS (
   SELECT doc_id,
          string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
                       ' ') AS ws
-  FROM documents),
+  FROM corpus),
 sh AS (
   SELECT doc_id, unnest(list_distinct(list_transform(
            generate_series(1, greatest(length(ws) - 2, 1)),
@@ -923,42 +999,70 @@ JOIN sizes sb ON sb.doc_id = i.id_b
 
 @q("dedup_ngram_jaccard", _JACCARD_SQL)
 def dedup_ngram_jaccard(spark, sf_dir):
-    """Exact 3-gram Jaccard on the LSH candidate pairs."""
-    docs = _t(spark, sf_dir, "documents")
-    pairs = dd.lsh_candidate_pairs(docs, n_hashes=4, k=3, n_bands=2)
-    return dd.ngram_jaccard_pairs(docs, pairs, k=3)
+    """Exact 3-gram Jaccard on the LSH candidate pairs (planted corpus,
+    64-hash 4×16 banding — the candidates are true near-dups, so every
+    Jaccard lands near 0.99)."""
+    corpus = _planted_corpus(spark, sf_dir)
+    pairs = dd.lsh_candidate_pairs(
+        corpus, n_hashes=_N_MINHASH, k=3, n_bands=4
+    )
+    return dd.ngram_jaccard_pairs(corpus, pairs, k=3)
 
 
-_SIMHASH_SQL = """
-WITH norm AS (
+def _simhash64_fps_sql(src: str) -> str:
+    """DuckDB CTE chain computing 64-bit SimHash halves (hi from md5
+    hex chars 1-8, lo from 9-16) for ``src`` rows (doc_id, text) —
+    the exact twin of functions/dedup.simhash64."""
+
+    def half(off: int) -> str:
+        return f"""list_transform(sh, s ->
+           list_sum(list_transform(generate_series(0, 7), j ->
+             (strpos('0123456789abcdef',
+                     substr(md5(s), j + {off}, 1)) - 1)
+             * CAST(pow(16, 7 - j) AS BIGINT))))"""
+
+    def fold(hv: str) -> str:
+        return f"""CAST(list_sum(list_transform(generate_series(0, 31), b ->
+         CASE WHEN 2 * list_sum(list_transform({hv}, x ->
+                      CAST(floor(x / pow(2, b)) AS BIGINT) % 2)) > n
+              THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END))
+            AS BIGINT)"""
+
+    return f"""norm AS (
   SELECT doc_id,
          list_distinct(string_split(regexp_replace(lower(trim(text)),
                                                    '\\s+', ' ', 'g'),
                        ' ')) AS sh
-  FROM documents),
+  FROM {src}),
 h AS (
   SELECT doc_id, length(sh) AS n,
-         list_transform(sh, s ->
-           list_sum(list_transform(generate_series(0, 7), j ->
-             (strpos('0123456789abcdef', substr(md5(s), j + 1, 1)) - 1)
-             * CAST(pow(16, 7 - j) AS BIGINT)))) AS hv
-  FROM norm)
-SELECT doc_id,
-       CAST(list_sum(list_transform(generate_series(0, 31), b ->
-         CASE WHEN 2 * list_sum(list_transform(hv, x ->
-                      CAST(floor(x / pow(2, b)) AS BIGINT) % 2)) > n
-              THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END))
-            AS BIGINT) AS simhash
-FROM h
+         {half(1)} AS hv_hi,
+         {half(9)} AS hv_lo
+  FROM norm),
+fps AS (
+  SELECT doc_id,
+         {fold('hv_hi')} AS fp_hi,
+         {fold('hv_lo')} AS fp_lo
+  FROM h)"""
+
+
+_SIMHASH_SQL = f"""
+WITH {_simhash64_fps_sql('documents')}
+SELECT doc_id, fp_hi AS simhash_hi, fp_lo AS simhash_lo FROM fps
 """
 
 
 @m("dedup_simhash", _SIMHASH_SQL)
 def dedup_simhash(spark, sf_dir):
-    """32-bit SimHash fingerprints (1-word shingles) — the md5-sliced
-    hash is portable, so the bit-majority fold has an exact SQL twin."""
+    """64-bit SimHash fingerprints (1-word shingles) as two 32-bit
+    halves — the md5-sliced hash is portable, so both bit-majority
+    folds have exact SQL twins.  64 bits per Manku et al. (WWW'07):
+    the old 32-bit default went quadratic past ~10^6 docs/shard."""
+    fp = dd.simhash64(F.col("text"), k=1)
     return _t(spark, sf_dir, "documents").select(
-        "doc_id", dd.simhash32(F.col("text"), k=1).alias("simhash")
+        "doc_id",
+        fp["hi"].alias("simhash_hi"),
+        fp["lo"].alias("simhash_lo"),
     )
 
 
@@ -1219,6 +1323,58 @@ SELECT doc_id, CAST(seq AS INT) AS seq, page, kind,
                 ORDER BY page, kind_rank, off, seq) AS INT) AS "order"
 FROM kept
 """
+
+
+# point the synth CTE at the skewed corpus FIRST, then prepend the
+# skew CTE (prepending first would rewrite its own FROM — circular ref)
+_W2_MEGA_SQL = _SPAN_SEQ_SQL.replace(
+    "FROM documents)", "FROM skewed_documents)"
+).replace(
+    "WITH ",
+    """WITH skewed_documents AS (
+  SELECT doc_id,
+         CASE WHEN CAST(doc_id AS BIGINT) % 250 = 0
+              THEN repeat(text || ' ', 200)
+              ELSE text END AS text
+  FROM documents),
+""",
+    1,
+)
+
+
+@q("w2_mega_salted", _W2_MEGA_SQL)
+def w2_mega_salted(spark, sf_dir):
+    """W2 over a SKEWED corpus — every 250th doc's text repeated 200×
+    (~25× the span count of its siblings) — through the two-phase
+    mega-doc path (pages.span_sequence_skew_df; threshold lowered so
+    the fat docs cross it, 8 offset-quantile chunks).
+
+    The oracle replays the plain UNSALTED single-window W2 semantics:
+    a green value hash proves the salting (offset-quantile chunked
+    prefix sums + broadcast carry joins) is a pure physical
+    optimization — SURVEY §4 P6's build obligation."""
+    from dataclasses import replace as _cfg_replace
+
+    from pdf_parser_spark.config import DEFAULT_CONFIG
+    from pdf_parser_spark.operators import pages as pages_op
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id").cast("bigint") % 250 == 0,
+            F.repeat(F.concat(F.col("text"), F.lit(" ")), 200),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    spans = synthesize_spans(docs)
+    flat = pages_op.explode_spans(spans)
+    cfg = _cfg_replace(
+        DEFAULT_CONFIG, mega_doc_span_threshold=500, salt_buckets=8
+    )
+    return pages_op.span_sequence_skew_df(
+        pages_op.valid_spans(flat), cfg
+    )
 
 
 @q("pipeline_span_sequence", _SPAN_SEQ_SQL)
@@ -2073,65 +2229,29 @@ def x17_x21_heading_shapes(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-_SIMHASH_PAIRS_SQL = """
-WITH corpus AS (
-  SELECT 'o' || CAST(doc_id AS VARCHAR) AS id, text FROM documents
-  UNION ALL
-  SELECT 'v' || CAST(doc_id AS VARCHAR) AS id,
-         text || ' zznearduplicate' AS text
-  FROM documents WHERE CAST(doc_id AS BIGINT) % 5 = 0),
-norm AS (
-  SELECT id,
-         list_distinct(string_split(regexp_replace(lower(trim(text)),
-                                                   '\\s+', ' ', 'g'),
-                       ' ')) AS sh
-  FROM corpus),
-h AS (
-  SELECT id, length(sh) AS n,
-         list_transform(sh, s ->
-           list_sum(list_transform(generate_series(0, 7), j ->
-             (strpos('0123456789abcdef', substr(md5(s), j + 1, 1)) - 1)
-             * CAST(pow(16, 7 - j) AS BIGINT)))) AS hv
-  FROM norm),
-fps AS (
-  SELECT id,
-         CAST(list_sum(list_transform(generate_series(0, 31), b ->
-           CASE WHEN 2 * list_sum(list_transform(hv, x ->
-                        CAST(floor(x / pow(2, b)) AS BIGINT) % 2)) > n
-                THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END))
-              AS BIGINT) AS fp
-  FROM h)
-SELECT a.id AS id_a, b.id AS id_b,
-       CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
-FROM fps a JOIN fps b ON a.id < b.id
-WHERE bit_count(xor(a.fp, b.fp)) <= 3
+_SIMHASH_PAIRS_SQL = f"""
+WITH corpus AS ({_PLANTED_CORPUS_SQL}),
+{_simhash64_fps_sql('corpus')}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.fp_hi, b.fp_hi))
+            + bit_count(xor(a.fp_lo, b.fp_lo)) AS INT) AS hamming
+FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp_hi, b.fp_hi))
+      + bit_count(xor(a.fp_lo, b.fp_lo)) <= 3
 """
 
 
 @m("dedup_simhash_pairs", _SIMHASH_PAIRS_SQL)
 def dedup_simhash_pairs(spark, sf_dir):
-    """SimHash Hamming-bucket near-dup pairs (functions/dedup.py
+    """64-bit SimHash Hamming-bucket near-dup pairs (functions/dedup.py
     simhash_candidate_pairs) over a corpus with planted near-dups (every
     5th doc gets a one-word-appended variant).
 
     The oracle is the BRUTE-FORCE ground truth — all pairs within
-    Hamming<=3 of the portable md5-derived fingerprints — so a green
-    hash proves the pigeonhole bit-block bucket join is a COMPLETE
+    Hamming<=3 of the portable md5-derived 64-bit fingerprints — so a
+    green hash proves the 16-bit pigeonhole block join is a COMPLETE
     candidate generator within the radius, not just self-consistent."""
-    docs = _t(spark, sf_dir, "documents")
-    orig = docs.select(
-        F.concat(F.lit("o"), F.col("doc_id").cast("string")).alias(
-            "doc_id"
-        ),
-        "text",
-    )
-    variants = docs.filter(F.col("doc_id").cast("bigint") % 5 == 0).select(
-        F.concat(F.lit("v"), F.col("doc_id").cast("string")).alias(
-            "doc_id"
-        ),
-        F.concat(F.col("text"), F.lit(" zznearduplicate")).alias("text"),
-    )
-    corpus = orig.unionByName(variants)
+    corpus = _planted_corpus(spark, sf_dir)
     return dd.simhash_candidate_pairs(corpus, k=1, max_hamming=3).select(
         "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
     )

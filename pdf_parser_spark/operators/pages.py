@@ -185,21 +185,7 @@ def span_sequence_df(valid: DataFrame) -> DataFrame:
     cfg.mega_doc_span_threshold salting at INGEST (operators/skew.py),
     not a reassembly-time join.
     """
-    spans = _with_ids(with_page(valid))
-    content = spans.filter(F.col("kind") != "page_break")
-
-    keep = F.col("kind").isin(*IMAGEISH) | ~is_blank(F.col("text"))
-    kept = content.filter(keep)
-
-    out_text = (
-        F.when(F.col("kind").isin(*IMAGEISH), _image_summary())
-        .when(F.col("kind") == "annotation", _annotation_summary())
-        .otherwise(F.col("text"))
-    )
-    kept = kept.withColumn("out_text", out_text).withColumn(
-        "kind_rank", _kind_rank()
-    )
-
+    kept = _kept_with_out_text(_with_ids(with_page(valid)))
     w_doc = Window.partitionBy("doc_id").orderBy(
         "page", "kind_rank", "offset", "seq"
     )
@@ -212,6 +198,158 @@ def span_sequence_df(valid: DataFrame) -> DataFrame:
         "media_ref",
         F.row_number().over(w_doc).cast("int").alias("order"),
     )
+
+
+def _kept_with_out_text(spans: DataFrame) -> DataFrame:
+    """Shared W2 row selection + formatting: drop page breaks and blank
+    text spans, format image/annotation summaries, attach kind_rank."""
+    content = spans.filter(F.col("kind") != "page_break")
+    keep = F.col("kind").isin(*IMAGEISH) | ~is_blank(F.col("text"))
+    kept = content.filter(keep)
+    out_text = (
+        F.when(F.col("kind").isin(*IMAGEISH), _image_summary())
+        .when(F.col("kind") == "annotation", _annotation_summary())
+        .otherwise(F.col("text"))
+    )
+    return kept.withColumn("out_text", out_text).withColumn(
+        "kind_rank", _kind_rank()
+    )
+
+
+def mega_doc_ids(valid: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """doc_ids whose span count exceeds cfg.mega_doc_span_threshold —
+    one map-side-combined count pass; the result is tiny (pathological
+    docs are rare by definition) and broadcastable."""
+    return (
+        valid.groupBy("doc_id")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > cfg.mega_doc_span_threshold)
+        .select("doc_id")
+    )
+
+
+def _with_obucket(spans: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Attach ``_obucket``: the span's offset-quantile chunk (0..N-1,
+    N = cfg.salt_buckets), computed from per-doc approximate offset
+    percentiles and broadcast back.
+
+    The bucketing is ORDER-ALIGNED with the (offset, seq) sort — equal
+    offsets always share a bucket (``b <= offset``), and the bucket id
+    is nondecreasing in offset — which is the only property the
+    two-phase prefix sums need for EXACT results: quantile estimation
+    error shifts work between tasks, never changes the output."""
+    n = cfg.salt_buckets
+    probs = [i / n for i in range(1, n)]
+    bounds = spans.groupBy("doc_id").agg(
+        F.percentile_approx("offset", probs, 1000).alias("_bounds")
+    )
+    return (
+        spans.join(F.broadcast(bounds), "doc_id")
+        .withColumn(
+            "_obucket",
+            F.size(
+                F.filter("_bounds", lambda b: b <= F.col("offset"))
+            ),
+        )
+        .drop("_bounds")
+    )
+
+
+def _with_page_two_phase(spans: DataFrame) -> DataFrame:
+    """Distributed page derivation for mega docs: the per-doc prefix sum
+    of page breaks splits into a per-(doc, _obucket) local running sum
+    (each task bounded by ~1/N of the doc) plus a per-chunk break-total
+    carry, computed by a separate aggregate and folded back with a
+    broadcast join.  Exact for any order-aligned chunking."""
+    is_break = F.when(F.col("kind") == "page_break", 1).otherwise(0)
+    w_local = Window.partitionBy("doc_id", "_obucket").orderBy(
+        "offset", "seq"
+    )
+    local = spans.withColumn("_lb", F.sum(is_break).over(w_local))
+    totals = spans.groupBy("doc_id", "_obucket").agg(
+        F.sum(is_break).alias("_cb")
+    )
+    w_prior = (
+        Window.partitionBy("doc_id")
+        .orderBy("_obucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = totals.withColumn(
+        "_prior", F.coalesce(F.sum("_cb").over(w_prior), F.lit(0))
+    ).select("doc_id", "_obucket", "_prior")
+    return (
+        local.join(F.broadcast(prior), ["doc_id", "_obucket"])
+        .withColumn(
+            "page", (F.col("_prior") + F.col("_lb") + 1).cast("int")
+        )
+        .drop("_lb", "_prior")
+    )
+
+
+def _span_sequence_two_phase(
+    valid_mega: DataFrame, cfg: PipelineConfig
+) -> DataFrame:
+    """W2 for mega docs: page derivation, per-page ids, and the final
+    ordering all run with per-task row counts bounded by the offset-
+    quantile chunking instead of whole-doc windows.
+
+    The final ``order`` decomposes over the lexicographic sort key
+    (page, kind_rank, offset, seq): a local row_number per
+    (doc, page, kind_rank, _obucket) chunk plus the cumulative count of
+    all earlier chunks (tiny per-doc window over chunk summaries,
+    broadcast back).  Bit-identical to the single-window path."""
+    spans = _with_ids(
+        _with_page_two_phase(_with_obucket(valid_mega, cfg))
+    )
+    kept = _kept_with_out_text(spans)
+    ck = ["doc_id", "page", "kind_rank", "_obucket"]
+    w_local = Window.partitionBy(*ck).orderBy("offset", "seq")
+    kept = kept.withColumn("_rn", F.row_number().over(w_local))
+    counts = kept.groupBy(*ck).agg(F.count("*").alias("_c"))
+    w_prior = (
+        Window.partitionBy("doc_id")
+        .orderBy("page", "kind_rank", "_obucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = counts.withColumn(
+        "_base", F.coalesce(F.sum("_c").over(w_prior), F.lit(0))
+    ).select(*ck, "_base")
+    return (
+        kept.join(F.broadcast(prior), ck)
+        .select(
+            "doc_id",
+            "seq",
+            "page",
+            "kind",
+            F.col("out_text").alias("text"),
+            "media_ref",
+            (F.col("_base") + F.col("_rn")).cast("int").alias("order"),
+        )
+    )
+
+
+def span_sequence_skew_df(
+    valid: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """W2 with mega-doc spreading (SURVEY §4 P6): documents above
+    cfg.mega_doc_span_threshold spans take the two-phase chunked path —
+    every per-task row count bounded by ~threshold/salt_buckets — while
+    the rest keep the single-exchange single-window plan; the union is
+    bit-identical to ``span_sequence_df`` on the whole input.
+
+    Cost on a healthy corpus: one map-side-combined count pass to find
+    mega ids (usually none) plus a broadcast tag join; the mega branch
+    is empty and prunes at runtime."""
+    mega = mega_doc_ids(valid, cfg).withColumn("_mega", F.lit(True))
+    tagged = valid.join(F.broadcast(mega), "doc_id", "left")
+    normal_out = span_sequence_df(
+        tagged.filter(F.col("_mega").isNull()).drop("_mega")
+    )
+    mega_out = _span_sequence_two_phase(
+        tagged.filter(F.col("_mega") == True).drop("_mega"),  # noqa: E712
+        cfg,
+    )
+    return normal_out.unionByName(mega_out)
 
 
 def _joined_family(col: str) -> F.Column:

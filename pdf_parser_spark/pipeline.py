@@ -95,7 +95,15 @@ def run_pipeline(
         flat = pages_op.explode_spans(docs, cfg)
     quarantine = pages_op.quarantine_df(flat)
     valid = pages_op.valid_spans(flat)
-    spans_out = pages_op.span_sequence_df(valid)
+    # W2 reassembly: mega-doc salting on by default (SURVEY §4 P6) —
+    # docs past cfg.mega_doc_span_threshold take the two-phase chunked
+    # path so no single task sorts a pathological doc alone; output is
+    # bit-identical either way.
+    spans_out = (
+        pages_op.span_sequence_skew_df(valid, cfg)
+        if cfg.mega_doc_salting
+        else pages_op.span_sequence_df(valid)
+    )
 
     pages = pages_op.pages_df(valid, cfg)
     if cache:

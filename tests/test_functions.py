@@ -62,6 +62,76 @@ def test_minhash_matches_python(texts_df):
         assert got[doc_id] == _py_minhash(text), doc_id
 
 
+def test_wide_minhash_matches_python(texts_df):
+    """Seeded-group signatures (n_hashes > 4) match an independent
+    pure-Python implementation of the md5('g:' || s) hash family, and
+    the first 4 slots are bit-identical to the historical n<=4 family."""
+    got = {
+        r.id: list(r.sig)
+        for r in dd.minhash_df(texts_df, n_hashes=12, k=3).collect()
+    }
+    text = "the quick brown fox jumps over the lazy dog"
+    sh = _py_shingles(text, 3)
+    want = []
+    for i in range(12):
+        g, j = divmod(i, 4)
+        pre = "" if g == 0 else f"{g}:"
+        want.append(
+            min(
+                hashlib.md5((pre + s).encode()).hexdigest()[
+                    8 * j : 8 * j + 8
+                ]
+                for s in sh
+            )
+        )
+    assert got[1] == want
+    assert got[1][:4] == _py_minhash(text, 4)
+
+
+def test_wide_lsh_candidate_rate(spark):
+    """The 100-TB default banding (64 hashes, 4 bands × 16 rows) must
+    keep the false-candidate rate at Jaccard ~0.5 under 1% — the old
+    2×2 banding admitted ~44% of such pairs, going near-quadratic on a
+    web corpus.  Analytic bound: 1-(1-s^16)^4 at s=0.5 ≈ 6e-5.
+    Empirical: 150 planted half-overlap pairs yield (almost) no
+    candidates, while planted exact dups always collide."""
+    # analytic check on the shipped defaults
+    import inspect
+
+    sig = inspect.signature(dd.lsh_candidate_pairs)
+    n_hashes = sig.parameters["n_hashes"].default
+    n_bands = sig.parameters["n_bands"].default
+    rows_per_band = n_hashes // n_bands
+    assert rows_per_band >= 4
+    fp_rate = 1 - (1 - 0.5**rows_per_band) ** n_bands
+    assert fp_rate < 0.01
+
+    # empirical: half-overlap pairs (shingle Jaccard ~0.5-0.6)
+    rows = []
+    for p in range(150):
+        shared = " ".join(f"s{p}w{i}" for i in range(60))
+        ua = " ".join(f"a{p}w{i}" for i in range(20))
+        ub = " ".join(f"b{p}w{i}" for i in range(20))
+        rows.append((f"x{p}", f"{shared} {ua}"))
+        rows.append((f"y{p}", f"{shared} {ub}"))
+    # planted exact dups: guaranteed collisions in every band
+    rows.append(("dupA", rows[0][1]))
+    rows.append(("dupB", rows[2][1]))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dd.lsh_candidate_pairs(df).collect()
+    }
+    assert ("dupA", "x0") in pairs
+    assert ("dupB", "x1") in pairs
+    half_overlap_hits = {
+        (a, b)
+        for a, b in pairs
+        if a[0] in "xy" and b[0] in "xy" and a[1:] == b[1:]
+    }
+    assert len(half_overlap_hits) <= 2  # <=1.4% of 150 planted pairs
+
+
 def test_lsh_finds_near_dups(texts_df):
     pairs = {
         (r.id_a, r.id_b)
@@ -489,17 +559,20 @@ def test_ann_bucketed_layout_matches_inmemory(spark, tmp_path):
     assert 1 < len(parts) <= 16
 
 
+def _long_text(seed: str, n_words: int = 120) -> str:
+    """Deterministic ~n_words text — long enough that one appended word
+    flips only a few of the 64 majority bits (the near-dup regime the
+    fingerprint targets; short texts legitimately flip many bits)."""
+    words = [f"{seed}{i % 37}tok{i}" for i in range(n_words)]
+    return " ".join(words)
+
+
 def test_simhash_candidate_pairs_planted(spark):
-    """Pigeonhole completeness + precision: planted near-dups (1-2 words
-    changed) are found within Hamming<=3; unrelated docs are not paired."""
-    base = (
-        "the quick brown fox jumps over the lazy dog near the quiet "
-        "river bank today"
-    )
-    other = (
-        "completely different words about spark catalyst optimizer "
-        "plans and shuffles everywhere"
-    )
+    """Pigeonhole completeness + precision on 64-bit fingerprints:
+    planted near-dups (one appended word on a long doc) are found
+    within Hamming<=3; unrelated docs are not paired."""
+    base = _long_text("alpha")
+    other = _long_text("omega")
     rows = [
         ("a1", base),
         ("a2", base + " extra"),
@@ -520,19 +593,69 @@ def test_simhash_candidate_pairs_planted(spark):
     # ground truth: pairs == ALL pairs within the radius (bucket join is
     # pruning only, never lossy) — brute-force check over fingerprints
     fps = {
-        r.doc_id: r.fp
+        r.doc_id: (r.fp.hi, r.fp.lo)
         for r in df.select(
-            "doc_id", dd.simhash32(F.col("text"), 1).alias("fp")
+            "doc_id", dd.simhash64(F.col("text"), 1).alias("fp")
         ).collect()
     }
     import itertools
 
+    def ham(a, b):
+        return (
+            bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+        )
+
     brute = {
-        (x, y): bin(fps[x] ^ fps[y]).count("1")
+        (x, y): ham(fps[x], fps[y])
         for x, y in itertools.combinations(sorted(fps), 2)
-        if bin(fps[x] ^ fps[y]).count("1") <= 3
+        if ham(fps[x], fps[y]) <= 3
     }
     assert pairs == brute
+
+
+def test_simhash64_matches_python(spark):
+    """Fingerprint halves match an independent pure-Python fold."""
+    rows = [("d1", _long_text("px", 40)), ("d2", "tiny doc")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.fp.hi, r.fp.lo)
+        for r in df.select(
+            "doc_id", dd.simhash64(F.col("text"), 1).alias("fp")
+        ).collect()
+    }
+    for doc_id, text in rows:
+        words = list(dict.fromkeys(" ".join(text.lower().split()).split()))
+        digs = [hashlib.md5(w.encode()).hexdigest() for w in words]
+
+        def half(off):
+            vals = [int(d[off : off + 8], 16) for d in digs]
+            fp = 0
+            for b in range(32):
+                if 2 * sum((v >> b) & 1 for v in vals) > len(vals):
+                    fp |= 1 << b
+            return fp
+
+        assert got[doc_id] == (half(0), half(8)), doc_id
+
+
+def test_simhash64_block_split_covers_all_bits(spark):
+    """The four 16-bit block values must partition all 64 bits:
+    reassembling them reproduces (hi:lo) exactly."""
+    df = spark.createDataFrame(
+        [("d1", _long_text("blk", 30))], ["doc_id", "text"]
+    )
+    fp = dd.simhash64(F.col("text"), 1)
+    row = df.select(
+        fp.alias("fp"),
+        dd.simhash64_block_values(fp, max_hamming=3).alias("blocks"),
+    ).head()
+    full = (row.fp.hi << 32) | row.fp.lo
+    acc, lo = 0, 0
+    for v in row.blocks:
+        assert 0 <= v < (1 << 16)
+        acc |= v << lo
+        lo += 16
+    assert acc == full
 
 
 def test_embedding_near_dup_pairs_planted(spark):

@@ -117,17 +117,21 @@ def test_simhash_pairs_complete_within_radius(spark, docs):
         for r in D.simhash_candidate_pairs(df, max_hamming=3).collect()
     }
     fps = {
-        r.doc_id: r.fp
+        r.doc_id: (r.fp.hi, r.fp.lo)
         for r in df.select(
-            "doc_id", D.simhash32(F.col("text")).alias("fp")
+            "doc_id", D.simhash64(F.col("text")).alias("fp")
         ).collect()
     }
+
+    def ham(a, b):
+        return bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")
+
     ids = sorted(fps)
     want = {
         (a, b)
         for i, a in enumerate(ids)
         for b in ids[i + 1 :]
-        if bin(fps[a] ^ fps[b]).count("1") <= 3
+        if ham(fps[a], fps[b]) <= 3
     }
     assert got == want
 

@@ -62,6 +62,99 @@ def test_salted_agg_matches_plain(spark):
     assert plain == salted
 
 
+def _skewed_spans(spark, mega_spans=3000, normal_docs=6):
+    """Flat valid spans: one mega doc (``mega_spans`` rows, page break
+    every 7th span, image every 50th) + a handful of small docs."""
+    rows = []
+    for d in range(normal_docs):
+        for s in range(10):
+            kind = "page_break" if s % 4 == 3 else "text"
+            rows.append(
+                (f"n{d}", s, kind,
+                 None if kind == "page_break" else f"doc{d} span {s} words",
+                 None, s * 10)
+            )
+    for s in range(mega_spans):
+        kind = (
+            "page_break" if s % 7 == 6
+            else "image" if s % 50 == 25
+            else "text"
+        )
+        text = None if kind == "page_break" else f"mega span {s} payload"
+        ref = f"img-{s}" if kind == "image" else None
+        rows.append(("mega", s, kind, text, ref, s * 3))
+    return spark.createDataFrame(
+        rows, ["doc_id", "seq", "kind", "text", "media_ref", "offset"]
+    )
+
+
+def _low_threshold_cfg(threshold=500, buckets=8):
+    from dataclasses import replace
+
+    from pdf_parser_spark.config import DEFAULT_CONFIG
+
+    return replace(
+        DEFAULT_CONFIG,
+        mega_doc_span_threshold=threshold,
+        salt_buckets=buckets,
+    )
+
+
+def test_mega_doc_w2_bit_identical(spark):
+    """span_sequence_skew_df must reproduce the single-window W2 output
+    exactly — same rows, same order values — when a doc crosses the
+    mega threshold."""
+    from pdf_parser_spark.operators import pages as P
+
+    valid = _skewed_spans(spark)
+    cfg = _low_threshold_cfg()
+    plain = sorted(map(tuple, P.span_sequence_df(valid).collect()))
+    salted = sorted(
+        map(tuple, P.span_sequence_skew_df(valid, cfg).collect())
+    )
+    assert plain == salted
+    # the mega doc really took the two-phase path
+    mega_ids = {r.doc_id for r in P.mega_doc_ids(valid, cfg).collect()}
+    assert mega_ids == {"mega"}
+
+
+def test_mega_doc_w2_bounds_task_sizes(spark):
+    """Straggler bound: with N offset-quantile chunks, no single
+    (doc, chunk) group — the unit of per-task window work in the
+    two-phase path — holds more than ~2/N of the mega doc's spans
+    (2× slack for quantile estimation error)."""
+    from pdf_parser_spark.operators import pages as P
+
+    cfg = _low_threshold_cfg(threshold=500, buckets=8)
+    valid = _skewed_spans(spark, mega_spans=3000).filter(
+        F.col("doc_id") == "mega"
+    )
+    chunked = P._with_obucket(valid, cfg)
+    sizes = [
+        r.n
+        for r in chunked.groupBy("_obucket")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    ]
+    assert len(sizes) == 8
+    assert max(sizes) <= 2 * 3000 / 8
+
+
+def test_mega_doc_w2_empty_branch_on_healthy_corpus(spark):
+    """With no doc past the threshold the skew path equals the plain
+    path (mega branch empty) — the run_pipeline default is safe."""
+    from pdf_parser_spark.operators import pages as P
+
+    valid = _skewed_spans(spark, mega_spans=30)
+    cfg = _low_threshold_cfg(threshold=500)
+    assert P.mega_doc_ids(valid, cfg).count() == 0
+    plain = sorted(map(tuple, P.span_sequence_df(valid).collect()))
+    salted = sorted(
+        map(tuple, P.span_sequence_skew_df(valid, cfg).collect())
+    )
+    assert plain == salted
+
+
 def test_salted_join_rejects_outer_and_semi(spark):
     """The salt-replicated right side breaks right/full-outer and
     semi/anti semantics; the helper must refuse them loudly."""
