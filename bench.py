@@ -70,7 +70,11 @@ def ensure_bucketed(spark, corpus_path: str, n_buckets: int = 32) -> str:
     catalog metadata, not file content)."""
     from pdf_parser_spark.sources import tables as T
 
-    name = "bench_docs_bucketed"
+    # table name keyed by corpus identity (n_docs/mega live in the
+    # corpus dir name) + bucket count: a persisted metastore entry from
+    # a run with a DIFFERENT corpus size can never shadow this one
+    # (ADVICE r3 — the fixed name silently reused stale registrations)
+    name = f"bench_docs_bucketed_{Path(corpus_path).name}_{n_buckets}"
     path = corpus_path + f"_bucketed{n_buckets}"
     marker = Path(path) / "_SUCCESS_LOCAL"
     docs = read_documents(spark, corpus_path)

@@ -59,7 +59,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="pipeline/resume/ingest/bucketize modes: strip raw-HTML "
                         "spans to main-content text spans in place "
                         "before extraction (for corpora not normalized "
-                        "at ingest time)")
+                        "at ingest time); rejected in assembly mode "
+                        "(fragment streams carry no span arrays)")
     p.add_argument("--master",
                    help="override master (normally left to spark-submit)")
     p.add_argument("--shuffle-partitions", type=int, default=None)
@@ -153,6 +154,15 @@ def main(argv=None, spark=None) -> dict:
         )
         return {"mode": "ingest", "out": f"{args.output}/spans_out"}
 
+    if args.normalize_html:
+        # assembly consumes FRAGMENT streams (no span arrays to strip);
+        # silently accepting the flag would leave raw html fragments to
+        # quarantine as unknown_kind with no hint why (ADVICE r3)
+        raise SystemExit(
+            "--normalize-html is not supported with --mode assembly: "
+            "normalize the corpus at ingest (bucketize/ingest modes) "
+            "or run the batch pipeline over the assembled output"
+        )
     from pdf_parser_spark.streaming import assembly as A
 
     A.run_fragment_assembly(

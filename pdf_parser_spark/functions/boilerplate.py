@@ -361,13 +361,17 @@ def strip_html_spans(docs: DataFrame, html_kind: str = "html") -> DataFrame:
         .unionByName(anchor)
         .groupBy("doc_id")
         .agg(
+            # sort by seq ALONE: seq is the original array position, so
+            # the rebuilt array preserves input order exactly — an
+            # in-place rewrite.  Sorting by (offset, seq) moved spans
+            # with NULL or out-of-array-order offsets, silently
+            # renumbering downstream span_seq provenance (ADVICE r3).
             F.transform(
                 F.array_sort(
                     F.collect_list(
                         F.when(
                             F.col("seq").isNotNull(),
                             F.struct(
-                                "offset",
                                 "seq",
                                 F.struct(
                                     "kind", "text", "media_ref", "offset"
@@ -407,13 +411,15 @@ def normalize_html_flat(
     Python stage.
 
     Semantic divergence from ``strip_html_spans`` (documented, tested):
-    a span that strips to pure boilerplate stays as a BLANK text span
-    (downstream already drops blank text from assembly — the F6
-    whitespace-doc path) instead of being dropped from the array, so
-    all-boilerplate docs keep their doc_id universe row with no
-    anti-join.  ``seq`` keeps the ORIGINAL exploded position rather
-    than the rebuilt-array position; ordering is unaffected because
-    every consumer orders by (offset, seq) and offsets are unchanged.
+    spans that strip to pure boilerplate are dropped from the FLAT
+    table (matching the ingest path's array removal — page blobs,
+    sections, and spans_out agree exactly); ``seq`` keeps the ORIGINAL
+    exploded position rather than the rebuilt-array position (ordering
+    is unaffected: every consumer orders by (offset, seq) and offsets
+    are unchanged); and a doc ALL of whose spans strip to boilerplate
+    vanishes from the flat table instead of surfacing an empty_spans
+    quarantine row — the doc_id universe consumers read ``docs``, not
+    this table, so nothing else shifts.
     """
     is_html = F.col("kind").eqNullSafe(F.lit(html_kind))
     rest = flat.filter(~is_html)
@@ -459,6 +465,18 @@ def normalize_html_flat(
             "media_ref",
             "offset",
         )
+        # all-boilerplate spans fold to '' — drop them from the flat
+        # table exactly like strip_html_spans drops them from the span
+        # array (ADVICE r3: pages_df keeps empty-string textish spans —
+        # reference parity for ordinary corpora — so a surviving blank
+        # rewrite would inject an extra blank line into the page
+        # text/content blobs and diverge from the ingest path).  A doc
+        # ALL of whose spans strip to boilerplate vanishes from the
+        # flat table — the doc_id universe consumers (metadata/metrics)
+        # read ``docs``, not this table, so only its quarantine
+        # empty_spans row differs from the ingest path (pre-existing,
+        # documented divergence).
+        .filter(F.col("text") != "")
     )
     if cache_html:
         from pyspark.storagelevel import StorageLevel

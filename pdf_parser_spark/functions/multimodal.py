@@ -509,12 +509,36 @@ SAMPLE_SCHEMA = StructType(
 )
 
 
+def _rescale_gce_delays(ext_bytes: bytearray, factor: int) -> None:
+    """Multiply every Graphic Control Extension's frame delay (bytes 4-5
+    of the 0xF9 block, little-endian centiseconds) by ``factor``,
+    clamped to the field's 0xFFFF max — keeping every Nth frame without
+    stretching its delay would play the sampled animation N× fast."""
+    i = 0
+    while i < len(ext_bytes):
+        label = ext_bytes[i + 1]
+        j = i + 2
+        if label == 0xF9 and ext_bytes[j] == 4:
+            delay = ext_bytes[j + 2] | (ext_bytes[j + 3] << 8)
+            delay = min(delay * factor, 0xFFFF)
+            ext_bytes[j + 2] = delay & 0xFF
+            ext_bytes[j + 3] = delay >> 8
+        while ext_bytes[j] != 0:
+            j += 1 + ext_bytes[j]
+        j += 1
+        i = j
+
+
 def sample_gif_frames(payload: bytes, every_n: int) -> tuple | None:
     """Keep every ``every_n``-th image-descriptor block of a GIF (frames
     0, n, 2n, ...) by BYTE-RANGE copy — no LZW decompression: kept
     frames' compressed data is moved verbatim.  Extension blocks that
     immediately precede a frame (graphic control etc.) travel with it —
-    kept with a kept frame, dropped with a dropped one.  Returns
+    kept with a kept frame, dropped with a dropped one — and kept
+    frames' GCE delays are rescaled ×``every_n`` so playback DURATION
+    is preserved (the same contract as the WAV branch's sample-rate
+    rescale); extensions trailing the final frame (e.g. a comment
+    block) are flushed before the trailer, not dropped.  Returns
     (n_frames_in, n_frames_kept, new_payload) or None if not a GIF."""
     meta = decode_gif_meta(payload)
     if meta is None:
@@ -548,10 +572,12 @@ def sample_gif_frames(payload: bytes, every_n: int) -> tuple | None:
             pos += 1 + payload[pos]
         pos += 1
         if frames_in % every_n == 0:
+            _rescale_gce_delays(pending, every_n)
             out += pending + payload[start:pos]
             frames_kept += 1
         frames_in += 1
         pending = bytearray()
+    out += pending  # trailing extensions (comments etc.) survive
     out += b"\x3b"
     return (frames_in, frames_kept, bytes(out))
 

@@ -247,7 +247,10 @@ def test_inline_normalize_matches_ingest_strip(spark):
     same extraction output as strip-at-ingest → run_pipeline: identical
     spans_out on (doc_id, page, kind, text, media_ref, order) — seq is
     provenance (original slot vs rebuilt array position) and may
-    differ."""
+    differ — AND identical pages/metrics stage tables, including for a
+    doc whose html span strips to PURE boilerplate (the inline path
+    rewrites it to a NULL-text span, which every blob consumer drops
+    exactly like the ingest path's array removal; ADVICE r3)."""
     import random
 
     from pdf_parser_spark.fixtures.gen import (
@@ -256,9 +259,30 @@ def test_inline_normalize_matches_ingest_strip(spark):
     from pdf_parser_spark.pipeline import run_pipeline
 
     rng = random.Random(11)
+    def _span(kind, text, offset):
+        return {
+            "kind": kind, "text": text, "media_ref": None,
+            "offset": offset,
+        }
+
+    boiler_doc = {
+        "doc_id": "allboiler",
+        "spans": [
+            _span("text", "intro words before the markup", 0),
+            _span(
+                "html",
+                '<nav><a href="/a">Home</a><a href="/b">About</a></nav>'
+                '<footer><a href="/c">Priv</a></footer>',
+                1,
+            ),
+            _span("page_break", None, 2),
+            _span("text", "closing words after the markup", 3),
+        ],
+    }
     docs = to_spark_df(spark, [
         _doc_to_spans(html_doc(rng, "h1"), rng),
         _doc_to_spans(media_doc(rng, "m1"), rng),
+        boiler_doc,  # already span-shaped — no _doc_to_spans
     ])
     cols = ["doc_id", "page", "kind", "text", "media_ref", "order"]
     inline = run_pipeline(docs, cache=False, normalize_html=True)
@@ -268,6 +292,14 @@ def test_inline_normalize_matches_ingest_strip(spark):
     a = sorted(map(tuple, inline.spans_out.select(*cols).collect()))
     b = sorted(map(tuple, ingest.spans_out.select(*cols).collect()))
     assert a == b and len(a) > 0
+    # stage-table equivalence: page text/content blobs and per-doc
+    # metrics agree between the two normalization paths
+    pa = sorted(map(tuple, inline.pages.collect()))
+    pb = sorted(map(tuple, ingest.pages.collect()))
+    assert pa == pb
+    ma = sorted(map(tuple, inline.metrics.collect()))
+    mb = sorted(map(tuple, ingest.metrics.collect()))
+    assert ma == mb
 
 
 def test_normalize_html_flat_plan_shape(spark):

@@ -893,13 +893,26 @@ def test_gif_frame_sampling_byte_exact(spark):
         )
 
     # extension attribution: GCE+frame, GCE+frame → sampling every 2nd
-    # keeps frame 0 WITH its GCE and drops frame 1 AND its GCE
-    gce = b"\x21\xf9\x04\x00\x0a\x00\x00\x00"
+    # keeps frame 0 WITH its GCE (delay rescaled ×2 to preserve total
+    # playback duration) and drops frame 1 AND its GCE; a comment after
+    # the last frame is flushed before the trailer, not dropped
+    gce = b"\x21\xf9\x04\x00\x0a\x00\x00\x00"           # delay 10 cs
+    gce_x2 = b"\x21\xf9\x04\x00\x14\x00\x00\x00"        # delay 20 cs
+    comment = b"\x21\xfe\x05hello\x00"
     f = (b"\x2c\x00\x00\x00\x00\x05\x00\x05\x00\x00"
          b"\x02\x02\xaa\xbb\x00")
     gif = (b"GIF89a\x05\x00\x05\x00\x00\x00\x00"
-           + gce + f + gce + f + b"\x3b")
+           + gce + f + gce + f + comment + b"\x3b")
     n_in, n_kept, sampled = mm.sample_gif_frames(gif, 2)
     assert (n_in, n_kept) == (2, 1)
-    assert sampled.count(gce) == 1
+    assert sampled.count(gce) == 0          # original delay rewritten
+    assert sampled.count(gce_x2) == 1       # kept GCE, rescaled delay
+    assert sampled.count(comment) == 1      # trailing comment survives
+    assert sampled.endswith(comment + b"\x3b")
     assert mm.decode_gif_meta(sampled) == (5, 5, 1)
+    # delay clamp: 0x9000 cs × 2 saturates at 0xFFFF
+    gce_big = b"\x21\xf9\x04\x00\x00\x90\x00\x00"
+    gif2 = (b"GIF89a\x05\x00\x05\x00\x00\x00\x00"
+            + gce_big + f + b"\x3b")
+    _, _, sampled2 = mm.sample_gif_frames(gif2, 2)
+    assert b"\x21\xf9\x04\x00\xff\xff\x00\x00" in sampled2
