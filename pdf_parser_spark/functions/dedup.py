@@ -47,11 +47,35 @@ def _materialize(df: DataFrame) -> DataFrame:
     executor-LOCAL blocks, so losing an executor fails the job instead
     of recomputing.  Fine for interactive/driver-contract runs; a
     long-lived production job at 10^12 docs should pass its own
-    ``materializer`` — e.g. ``lambda df: df.checkpoint(eager=True)``
-    with a reliable checkpoint dir, or a write-then-read of the
-    signatures stage table (the Iceberg stage-boundary pattern) — so
-    recovery replays from durable storage."""
+    ``materializer`` — ``stage_table_materializer`` below (write-then-
+    read of the signatures stage table, the Iceberg stage-boundary
+    pattern; resumable via streaming/lineage.run_resumable_dedup) or
+    ``lambda df: df.checkpoint(eager=True)`` with a reliable checkpoint
+    dir — so recovery replays from durable storage."""
     return df.localCheckpoint(eager=True)
+
+
+def stage_table_materializer(out_dir: str, name: str) -> Materializer:
+    """DURABLE materializer: write the stage to a table (``iceberg:``
+    ref or parquet dir via the sources/tables seam) and hand back the
+    read — the production alternative to the executor-local default
+    (``_materialize``), whose blocks die with an executor.  Recovery
+    replays from storage; combined with the lineage runner
+    (streaming/lineage.run_resumable_dedup) a killed job resumes
+    without recomputing the signatures fold."""
+
+    def mat(df: DataFrame) -> DataFrame:
+        from pdf_parser_spark.sources.tables import (
+            read_table,
+            sub_ref,
+            write_table,
+        )
+
+        ref = sub_ref(out_dir, name)
+        write_table(df, ref, mode="overwrite")
+        return read_table(df.sparkSession, ref)
+
+    return mat
 
 
 def normalized_text(text: Column) -> Column:

@@ -166,3 +166,102 @@ def run_resumable(
         "processed_buckets": processed,
         "n_waves": len(waves),
     }
+
+
+def run_resumable_dedup(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    run_id: str = "dedup-0",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 64,
+    k: int = 3,
+    n_bands: int = 4,
+    fail_after_stages: int | None = None,
+) -> dict:
+    """Resumable MinHash-LSH near-dup job: the expensive signatures
+    fold and the band-bucket pair join are separate DURABLE stages —
+    each writes its stage table (the ``dedup.stage_table_materializer``
+    seam) and then appends a lineage row (partition_id = stage
+    ordinal), so a job killed between the two resumes WITHOUT
+    recomputing the ceil(n_hashes/4)-md5-per-shingle signature pass.
+
+    ``fail_after_stages`` injects a crash after k committed stages,
+    exactly as a mid-job kill would.  Returns a summary dict; the
+    candidate pairs land in ``<out_dir>/pairs``.
+    """
+    import datetime as _dt
+
+    from pdf_parser_spark.functions import dedup as dd
+
+    sig_ref = sub_ref(out_dir, "signatures")
+    done = completed_buckets(spark, out_dir)
+
+    def _stage_row(stage: int, n_rows: int, t0: float) -> tuple:
+        return (
+            run_id,
+            stage,
+            "done",
+            n_rows,
+            0,
+            _dt.datetime.fromtimestamp(t0, _dt.timezone.utc)
+            .replace(tzinfo=None),
+            _dt.datetime.fromtimestamp(time.time(), _dt.timezone.utc)
+            .replace(tzinfo=None),
+            {"stage": float(stage)},
+        )
+
+    skipped = []
+    # --- stage 0: signatures (the md5 fold — never recompute) --------
+    if 0 in done:
+        sigs = read_table(spark, sig_ref)
+        skipped.append(0)
+    else:
+        if fail_after_stages is not None and fail_after_stages < 1:
+            raise RuntimeError("injected failure before stage 0")
+        t0 = time.time()
+        sigs = dd.stage_table_materializer(out_dir, "signatures")(
+            dd.minhash_df(docs, id_col, text_col, n_hashes, k)
+        )
+        _append_lineage(
+            spark, out_dir, [_stage_row(0, sigs.count(), t0)]
+        )
+
+    # --- stage 1: band-bucket candidate pairs -------------------------
+    if 1 in done:
+        skipped.append(1)
+    else:
+        if fail_after_stages is not None and fail_after_stages < 2:
+            raise RuntimeError("injected failure before stage 1")
+        t0 = time.time()
+        rows = n_hashes // n_bands
+        banded = sigs.select(
+            "id",
+            F.posexplode(
+                dd.lsh_bands(F.col("sig"), n_bands, rows)
+            ).alias("band_idx", "band_key"),
+        )
+        pairs = (
+            banded.alias("l")
+            .join(
+                banded.alias("r"),
+                (F.col("l.band_idx") == F.col("r.band_idx"))
+                & (F.col("l.band_key") == F.col("r.band_key"))
+                & (F.col("l.id") < F.col("r.id")),
+            )
+            .select(
+                F.col("l.id").alias("id_a"),
+                F.col("r.id").alias("id_b"),
+            )
+            .distinct()
+        )
+        write_table(pairs, sub_ref(out_dir, "pairs"), mode="overwrite")
+        n_pairs = read_table(spark, sub_ref(out_dir, "pairs")).count()
+        _append_lineage(spark, out_dir, [_stage_row(1, n_pairs, t0)])
+
+    return {
+        "run_id": run_id,
+        "skipped_stages": skipped,
+        "pairs_ref": sub_ref(out_dir, "pairs"),
+    }

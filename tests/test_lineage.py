@@ -46,3 +46,64 @@ def test_resume_after_failure(spark, docs_df, oracle_results):
             assert have == want, f"resume output mismatch for {doc_id}"
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def test_resumable_dedup_skips_signature_recompute(spark):
+    """Kill the dedup job between the signatures stage and the pair
+    join; the resume must (a) NOT rewrite the signatures stage table —
+    the md5 fold is the expensive pass — and (b) produce candidate
+    pairs identical to an unkilled in-memory run (oracle-equal)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.functions import dedup as dd
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(f"d{i}", f"{base} suffix{i // 2}") for i in range(10)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out_dir = tempfile.mkdtemp(prefix="lineage_dedup_", dir="/root/repo")
+    try:
+        with pytest.raises(RuntimeError, match="injected failure"):
+            L.run_resumable_dedup(
+                spark, docs, out_dir, run_id="k1",
+                n_hashes=8, k=3, n_bands=2, fail_after_stages=1,
+            )
+        assert L.completed_buckets(spark, out_dir) == {0}
+        sig_dir = f"{out_dir}/signatures"
+        mtimes = {
+            f: os.path.getmtime(os.path.join(sig_dir, f))
+            for f in os.listdir(sig_dir)
+        }
+
+        summary = L.run_resumable_dedup(
+            spark, docs, out_dir, run_id="k2",
+            n_hashes=8, k=3, n_bands=2,
+        )
+        assert summary["skipped_stages"] == [0]
+        # signatures stage table untouched by the resume
+        assert mtimes == {
+            f: os.path.getmtime(os.path.join(sig_dir, f))
+            for f in os.listdir(sig_dir)
+        }
+
+        got = {
+            (r.id_a, r.id_b)
+            for r in spark.read.parquet(f"{out_dir}/pairs").collect()
+        }
+        want = {
+            (r.id_a, r.id_b)
+            for r in dd.lsh_candidate_pairs(
+                docs, n_hashes=8, k=3, n_bands=2
+            ).select("id_a", "id_b").collect()
+        }
+        assert got == want and len(want) > 0
+
+        # a THIRD run over the finished state is a pure no-op
+        summary3 = L.run_resumable_dedup(
+            spark, docs, out_dir, run_id="k3",
+            n_hashes=8, k=3, n_bands=2,
+        )
+        assert summary3["skipped_stages"] == [0, 1]
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
