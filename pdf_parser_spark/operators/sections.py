@@ -283,13 +283,27 @@ def sections_df(
     unioned = toc_sections.unionByName(page_sections).unionByName(
         content_sections
     )
+    # W5 DRAM fix (scaling): the ordering window needs only the sort
+    # key, but windowing over the full rows shuffled AND sorted the
+    # assembled `content` strings — the 4→16 core scaling pair was
+    # DRAM-bandwidth-bound on exactly that sort.  Compute `order` on a
+    # skinny projection and re-attach by the UNIQUE section identity
+    # (doc_id, page, section_id, pass_rank, intra_order — toc rows have
+    # unique entry_order, page rows unique page, content rows unique
+    # (page, intra_order)); the SHUFFLE_HASH hint keeps the big side a
+    # hash probe — a sort-merge join would re-sort the strings and give
+    # the win straight back.
+    key = ["doc_id", "page", "section_id", "pass_rank", "intra_order"]
     w_order = Window.partitionBy("doc_id").orderBy(
         "page",
         F.coalesce("section_id", F.lit("")),
         "pass_rank",
         "intra_order",
     )
-    return (
-        unioned.withColumn("order", F.row_number().over(w_order))
-        .drop("pass_rank", "intra_order")
+    skinny = unioned.select(*key).withColumn(
+        "order", F.row_number().over(w_order)
     )
+    out_cols = [
+        c for c in unioned.columns if c not in ("pass_rank", "intra_order")
+    ] + ["order"]
+    return unioned.join(skinny.hint("SHUFFLE_HASH"), key).select(*out_cols)

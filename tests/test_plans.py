@@ -97,6 +97,39 @@ def test_span_sequence_single_exchange_no_python(spark, docs_df):
     assert ", broadcast" not in optimized
 
 
+def test_w5_ordering_window_is_content_free(spark, docs_df):
+    """The final sections ordering (W5) must window over a SKINNY
+    projection — the assembled `content` strings stay out of the
+    row_number exchange/sort (they made the core-scaling pair DRAM-
+    bound) and re-attach through a hash join, never a sort-merge join
+    (which would re-sort the strings and give the win back)."""
+    from pdf_parser_spark.operators import metadata as MD
+    from pdf_parser_spark.operators import pages as P
+    from pdf_parser_spark.operators import sections as S
+    from pdf_parser_spark.operators import toc as T
+    from pdf_parser_spark.config import DEFAULT_CONFIG as cfg
+
+    flat = P.explode_spans(docs_df)
+    valid = P.valid_spans(flat)
+    pages = P.pages_df(valid, cfg)
+    metadata = MD.metadata_df(docs_df, pages, cfg)
+    toc = T.toc_entries_df(pages, metadata, cfg, persist=False)
+    out = S.sections_df(pages, toc, metadata, cfg, persist=False)
+    plan = _plan(out)
+    # the re-attach join (keyed by the 5-col section identity — only it
+    # references intra_order) must be a hash join, never sort-merge
+    import re
+
+    for m in re.finditer(r"(\w*Join) \[[^\]]*intra_order[^\]]*\]", plan):
+        assert m.group(1) == "ShuffledHashJoin", m.group(0)
+    assert "ShuffledHashJoin" in plan
+    # every Window node's input projection excludes `content`
+    for m in re.finditer(r"Window \[[^\]]*\]", plan):
+        assert "content" not in m.group(0)
+    # the skinny ordering window is present (row_number over doc_id)
+    assert "row_number()" in plan
+
+
 def test_bucketed_docs_reassembly_is_shuffle_free(spark, docs_df, tmp_path):
     """North rule: "doc_id-range bucketing for shuffle-free reassembly".
     Reading the corpus from a doc_id-bucketed table, the scan itself
