@@ -201,10 +201,11 @@ html_span_tuples = st.tuples(
                 max_size=3))
 def test_normalize_html_flat_invariants(spark, docs):
     """For ARBITRARY spans — malformed/truncated markup, null text,
-    null kinds — inline normalization (a) never loses or invents a
-    span slot: the (doc_id, seq) key set is preserved exactly; (b)
-    passes every non-html row through byte-identical; (c) rewrites
-    every html row to kind='text' with non-null text at the same
+    null kinds — inline normalization (a) never invents a span slot,
+    and only ever drops HTML slots whose strip is pure boilerplate
+    (matching the ingest path's array removal — ADVICE r3); (b) passes
+    every non-html row through byte-identical; (c) rewrites every
+    surviving html row to kind='text' with NON-EMPTY text at the same
     (media_ref, offset); and (d) is idempotent."""
     from pdf_parser_spark.functions.boilerplate import normalize_html_flat
 
@@ -215,11 +216,14 @@ def test_normalize_html_flat_invariants(spark, docs):
 
     src = {(r.doc_id, r.seq): r for r in flat.collect()}
     got = {(r.doc_id, r.seq): r for r in out.collect()}
-    assert set(src) == set(got)
+    assert set(got) <= set(src)  # never invents a slot
     for key, s in src.items():
+        if key not in got:  # dropped ⇒ html that stripped to nothing
+            assert s.kind == "html"
+            continue
         g = got[key]
         if s.kind == "html":
-            assert g.kind == "text" and g.text is not None
+            assert g.kind == "text" and g.text  # non-null, non-empty
             assert (g.media_ref, g.offset) == (s.media_ref, s.offset)
         else:
             assert (g.kind, g.text, g.media_ref, g.offset) == (
