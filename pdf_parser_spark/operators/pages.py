@@ -337,19 +337,31 @@ def span_sequence_skew_df(
     the rest keep the single-exchange single-window plan; the union is
     bit-identical to ``span_sequence_df`` on the whole input.
 
-    Cost on a healthy corpus: one map-side-combined count pass to find
-    mega ids (usually none) plus a broadcast tag join; the mega branch
-    is empty and prunes at runtime."""
-    mega = mega_doc_ids(valid, cfg).withColumn("_mega", F.lit(True))
-    tagged = valid.join(F.broadcast(mega), "doc_id", "left")
-    normal_out = span_sequence_df(
-        tagged.filter(F.col("_mega").isNull()).drop("_mega")
+    Cost on a healthy corpus: ONE map-side-combined count pass to find
+    mega ids, evaluated eagerly at plan-construction time (a tiny
+    collect — pathological docs are rare by definition).  With no mega
+    docs the single-window plan is returned UNCHANGED — no tag join, no
+    empty union branch re-scanning the corpus per downstream consumer.
+    With mega docs, the split is a codegen'd isin filter on the literal
+    id list (broadcast-tag-join fallback past 1000 ids)."""
+    ids = [r.doc_id for r in mega_doc_ids(valid, cfg).collect()]
+    if not ids:
+        return span_sequence_df(valid)
+    if len(ids) <= 1000:
+        normal = valid.filter(~F.col("doc_id").isin(ids))
+        mega = valid.filter(F.col("doc_id").isin(ids))
+    else:  # adversarial corpus: too many megas for a literal filter
+        tag = F.broadcast(
+            mega_doc_ids(valid, cfg).withColumn("_mega", F.lit(True))
+        )
+        tagged = valid.join(tag, "doc_id", "left")
+        normal = tagged.filter(F.col("_mega").isNull()).drop("_mega")
+        mega = tagged.filter(
+            F.col("_mega") == True  # noqa: E712
+        ).drop("_mega")
+    return span_sequence_df(normal).unionByName(
+        _span_sequence_two_phase(mega, cfg)
     )
-    mega_out = _span_sequence_two_phase(
-        tagged.filter(F.col("_mega") == True).drop("_mega"),  # noqa: E712
-        cfg,
-    )
-    return normal_out.unionByName(mega_out)
 
 
 def _joined_family(col: str) -> F.Column:

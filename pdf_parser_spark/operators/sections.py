@@ -283,23 +283,40 @@ def sections_df(
     unioned = toc_sections.unionByName(page_sections).unionByName(
         content_sections
     )
-    # W5 DRAM fix (scaling): the ordering window needs only the sort
-    # key, but windowing over the full rows shuffled AND sorted the
-    # assembled `content` strings — the 4→16 core scaling pair was
-    # DRAM-bandwidth-bound on exactly that sort.  Compute `order` on a
-    # skinny projection and re-attach by the UNIQUE section identity
-    # (doc_id, page, section_id, pass_rank, intra_order — toc rows have
-    # unique entry_order, page rows unique page, content rows unique
-    # (page, intra_order)); the SHUFFLE_HASH hint keeps the big side a
-    # hash probe — a sort-merge join would re-sort the strings and give
-    # the win straight back.
-    key = ["doc_id", "page", "section_id", "pass_rank", "intra_order"]
     w_order = Window.partitionBy("doc_id").orderBy(
         "page",
         F.coalesce("section_id", F.lit("")),
         "pass_rank",
         "intra_order",
     )
+    if not persist:
+        # uncached flow: one window over the full rows.  The skinny
+        # split below would evaluate the un-materialized section
+        # lineage twice (the content-split Arrow stage and the TOC
+        # content assembly on BOTH sides of the self-join — measured
+        # far worse than the string sort it saves).
+        return unioned.withColumn(
+            "order", F.row_number().over(w_order)
+        ).drop("pass_rank", "intra_order")
+
+    # W5 DRAM fix (scaling): the ordering window needs only the sort
+    # key, but windowing over the full rows shuffled AND sorted the
+    # assembled `content` strings — the 4→16 core scaling pair was
+    # DRAM-bandwidth-bound on exactly that sort.  Materialize the
+    # pre-order union as the stage table, compute `order` on a skinny
+    # projection of it, and re-attach by the UNIQUE section identity
+    # (doc_id, page, section_id, pass_rank, intra_order — toc rows have
+    # unique entry_order, page rows unique page, content rows unique
+    # (page, intra_order)); the SHUFFLE_HASH hint keeps the big side a
+    # hash probe — a sort-merge join would re-sort the strings and give
+    # the win straight back.  Both join branches read the CACHE, so the
+    # heavy lineage runs once (in production this is the Iceberg
+    # sections stage table).
+    from pyspark.storagelevel import StorageLevel
+
+    unioned = unioned.persist(StorageLevel.MEMORY_AND_DISK)
+    unioned.count()
+    key = ["doc_id", "page", "section_id", "pass_rank", "intra_order"]
     skinny = unioned.select(*key).withColumn(
         "order", F.row_number().over(w_order)
     )
