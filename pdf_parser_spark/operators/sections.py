@@ -94,6 +94,7 @@ def sections_df(
     cfg: PipelineConfig = DEFAULT_CONFIG,
     persist: bool = True,
     heading_registry=None,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Full section assembly; returns SECTIONS_OUT + ``order`` per doc.
 
@@ -228,6 +229,8 @@ def sections_df(
 
         page_sections = page_sections.persist(StorageLevel.MEMORY_AND_DISK)
         page_sections.count()
+        if cache_registry is not None:
+            cache_registry.append(page_sections)
 
     page_sections = page_sections.withColumn(
         "full_path",
@@ -316,6 +319,8 @@ def sections_df(
 
     unioned = unioned.persist(StorageLevel.MEMORY_AND_DISK)
     unioned.count()
+    if cache_registry is not None:
+        cache_registry.append(unioned)
     key = ["doc_id", "page", "section_id", "pass_rank", "intra_order"]
     skinny = unioned.select(*key).withColumn(
         "order", F.row_number().over(w_order)

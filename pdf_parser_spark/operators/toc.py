@@ -213,6 +213,7 @@ def toc_entries_df(
     metadata: DataFrame,
     cfg: PipelineConfig = DEFAULT_CONFIG,
     persist: bool = True,
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """Full three-pass TOC extraction + dedup (toc_parser.py:141-691).
 
@@ -233,6 +234,8 @@ def toc_entries_df(
         # per branch before any partition is cached
         feats = feats.persist(StorageLevel.MEMORY_AND_DISK)
         feats.count()
+        if cache_registry is not None:
+            cache_registry.append(feats)
 
     accepted_primary = (
         F.col("prim_matched")
@@ -260,6 +263,8 @@ def toc_entries_df(
 
         primary = primary.persist(StorageLevel.MEMORY_AND_DISK)
         primary.count()
+        if cache_registry is not None:
+            cache_registry.append(primary)
 
     # ---- enhanced pass (toc_parser.py:381-470) -------------------------
     enh = feats.filter(

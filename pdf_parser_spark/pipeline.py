@@ -120,11 +120,15 @@ def run_pipeline(
     if cache:
         metadata = metadata.persist(StorageLevel.MEMORY_AND_DISK)
         metadata.count()
-    toc = toc_op.toc_entries_df(pages, metadata, cfg, persist=cache)
+    toc = toc_op.toc_entries_df(
+        pages, metadata, cfg, persist=cache, cache_registry=extra_cached
+    )
     if cache:
         toc = toc.persist(StorageLevel.MEMORY_AND_DISK)
         toc.count()
-    sections = sections_op.sections_df(pages, toc, metadata, cfg, persist=cache)
+    sections = sections_op.sections_df(
+        pages, toc, metadata, cfg, persist=cache, cache_registry=extra_cached
+    )
     if cache:
         sections = sections.persist(StorageLevel.MEMORY_AND_DISK)
         sections.count()
