@@ -1372,8 +1372,11 @@ def w2_mega_salted(spark, sf_dir):
     cfg = _cfg_replace(
         DEFAULT_CONFIG, mega_doc_span_threshold=500, salt_buckets=8
     )
+    # docs= : mega detection via the zero-shuffle size(spans) filter on
+    # the pre-explode table (run_pipeline's default); the unit suite
+    # keeps the valid-count fallback covered
     return pages_op.span_sequence_skew_df(
-        pages_op.valid_spans(flat), cfg
+        pages_op.valid_spans(flat), cfg, docs=spans
     )
 
 

@@ -329,7 +329,9 @@ def _span_sequence_two_phase(
 
 
 def span_sequence_skew_df(
-    valid: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG
+    valid: DataFrame,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    docs: DataFrame | None = None,
 ) -> DataFrame:
     """W2 with mega-doc spreading (SURVEY §4 P6): documents above
     cfg.mega_doc_span_threshold spans take the two-phase chunked path —
@@ -337,23 +339,35 @@ def span_sequence_skew_df(
     the rest keep the single-exchange single-window plan; the union is
     bit-identical to ``span_sequence_df`` on the whole input.
 
-    Cost on a healthy corpus: ONE map-side-combined count pass to find
-    mega ids, evaluated eagerly at plan-construction time (a tiny
-    collect — pathological docs are rare by definition).  With no mega
-    docs the single-window plan is returned UNCHANGED — no tag join, no
-    empty union branch re-scanning the corpus per downstream consumer.
-    With mega docs, the split is a codegen'd isin filter on the literal
-    id list (broadcast-tag-join fallback past 1000 ids)."""
-    ids = [r.doc_id for r in mega_doc_ids(valid, cfg).collect()]
+    Mega detection is evaluated eagerly at plan-construction time (a
+    tiny collect — pathological docs are rare by definition).  Pass the
+    PRE-explode ``docs`` table to make it a map-only
+    ``size(spans) > threshold`` filter with ZERO shuffle; without it the
+    fallback is a map-side-combined count over ``valid``, whose exchange
+    still carries one row per doc_id — a corpus-sized shuffle at
+    10^12 docs.  ``size(spans)`` counts quarantined spans too, so it can
+    only over-route a borderline doc to the two-phase path — routing is
+    physical only, the output is bit-identical either way.
+
+    With no mega docs the single-window plan is returned UNCHANGED — no
+    tag join, no empty union branch re-scanning the corpus per
+    downstream consumer.  With mega docs, the split is a codegen'd isin
+    filter on the literal id list (broadcast-tag-join fallback past
+    1000 ids)."""
+    if docs is not None:
+        mega_src = docs.filter(
+            F.size("spans") > cfg.mega_doc_span_threshold
+        ).select("doc_id")
+    else:
+        mega_src = mega_doc_ids(valid, cfg)
+    ids = [r.doc_id for r in mega_src.collect()]
     if not ids:
         return span_sequence_df(valid)
     if len(ids) <= 1000:
         normal = valid.filter(~F.col("doc_id").isin(ids))
         mega = valid.filter(F.col("doc_id").isin(ids))
     else:  # adversarial corpus: too many megas for a literal filter
-        tag = F.broadcast(
-            mega_doc_ids(valid, cfg).withColumn("_mega", F.lit(True))
-        )
+        tag = F.broadcast(mega_src.withColumn("_mega", F.lit(True)))
         tagged = valid.join(tag, "doc_id", "left")
         normal = tagged.filter(F.col("_mega").isNull()).drop("_mega")
         mega = tagged.filter(

@@ -100,7 +100,7 @@ def run_pipeline(
     # path so no single task sorts a pathological doc alone; output is
     # bit-identical either way.
     spans_out = (
-        pages_op.span_sequence_skew_df(valid, cfg)
+        pages_op.span_sequence_skew_df(valid, cfg, docs=docs)
         if cfg.mega_doc_salting
         else pages_op.span_sequence_df(valid)
     )

@@ -165,3 +165,30 @@ def test_salted_join_rejects_outer_and_semi(spark):
     for bad in ("right", "full", "outer", "left_semi", "left_anti"):
         with pytest.raises(ValueError, match="salted_equi_join"):
             K.salted_equi_join(big, dim, "k", "k", n_salts=4, how=bad)
+
+
+def test_mega_doc_detection_from_pre_explode_docs(spark):
+    """docs= routes mega detection through the map-only size(spans)
+    filter (zero shuffle — run_pipeline's default); output must stay
+    bit-identical to the single-window plan, and the detection must
+    route the mega doc even when some of its spans would be
+    quarantined (size counts them — over-routing is physical only)."""
+    from pyspark.sql import functions as F
+
+    from pdf_parser_spark.operators import pages as P
+
+    valid = _skewed_spans(spark)
+    docs = valid.groupBy("doc_id").agg(
+        F.collect_list(
+            F.struct("kind", "text", "media_ref", "offset")
+        ).alias("spans")
+    )
+    cfg = _low_threshold_cfg()
+    plain = sorted(map(tuple, P.span_sequence_df(valid).collect()))
+    salted = sorted(
+        map(
+            tuple,
+            P.span_sequence_skew_df(valid, cfg, docs=docs).collect(),
+        )
+    )
+    assert plain == salted
