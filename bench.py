@@ -186,14 +186,27 @@ def main() -> None:
     docs_per_sec = round(total_docs / times["pipeline_e2e"], 2)
 
     # --- relational/curation headline queries at sf_dir ------------------
+    # best-of-N per query: this shared box swings ±20%+ run-to-run
+    # (BENCH/README "Run-to-run variance"), and on sub-second queries a
+    # ~1 s ambient stall trips the regression gate's +1 s floor — the
+    # minimum over N alternating runs is the standard de-noised estimate
+    # of the code's actual cost (both r4 "regressions" reproduced at
+    # ~half the flagged wall on the same commit).
     if not os.environ.get("SPARK_GRAFT_BENCH_SKIP_RELATIONAL"):
+        micro_reps = int(
+            os.environ.get("SPARK_GRAFT_BENCH_MICRO_REPEATS", "3")
+        )
         # module attributes, not dq.queries(): some benched queries are
         # suite members rather than registered composites
         for name in RELATIONAL:
-            timed(
-                name,
-                lambda n=name: getattr(dq, n)(spark, sf_dir).count(),
-            )
+            fn = lambda n=name: getattr(dq, n)(spark, sf_dir).count()  # noqa: E731
+            best = None
+            for _ in range(max(1, micro_reps)):
+                t0 = time.perf_counter()
+                fn()
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+            times[name] = round(best, 3)
 
     # --- physical-layout A/B: the W2 reassembly over the ad-hoc parquet
     # corpus (one doc_id exchange) vs the doc_id-bucketed table (zero

@@ -1380,6 +1380,141 @@ def w2_mega_salted(spark, sf_dir):
     )
 
 
+# Breakless mega docs: the canonical pathological case for per-(doc,
+# page) windows — every span shares one page, so the two-phase path's
+# chunked image-id decomposition (pages._with_ids_two_phase) is the ONLY
+# thing bounding task sizes.  Kinds: image every 31st span (i%31==17,
+# so per-page image ids count past 100 in the fat docs), heading every
+# 7th, NO page_break anywhere.  The oracle replays the plain
+# single-window W2 semantics (page ≡ 1).
+_W2_BREAKLESS_SQL = """
+WITH skewed AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         CASE WHEN CAST(doc_id AS BIGINT) % 250 = 0
+              THEN repeat(text || ' ', 200)
+              ELSE text END AS text
+  FROM documents),
+d AS (
+  SELECT doc_id, string_split(text, ' ') AS ws,
+         greatest(CAST(ceil(length(string_split(text, ' ')) / 8.0)
+                       AS INT), 1) AS n_chunks
+  FROM skewed),
+chunked AS (
+  SELECT doc_id, ws, unnest(generate_series(0, n_chunks - 1)) AS i
+  FROM d),
+spans AS (
+  SELECT doc_id, i AS seq,
+         CASE WHEN i % 31 = 17 THEN 'image'
+              WHEN i % 7 = 5 THEN 'heading'
+              ELSE 'text' END AS kind,
+         CASE WHEN i % 31 = 17 THEN '640x480'
+              ELSE array_to_string(list_slice(ws, i * 8 + 1, i * 8 + 8),
+                                   ' ') END AS text,
+         CASE WHEN i % 31 = 17
+              THEN 'img-' || doc_id || '-' || CAST(i AS VARCHAR)
+              END AS media_ref,
+         i AS off
+  FROM chunked),
+kept AS (
+  SELECT doc_id, seq, CAST(1 AS INT) AS page, kind, media_ref, off,
+         CASE WHEN kind = 'image'
+              THEN 'Image ' || CAST(img_id AS VARCHAR) || ': '
+                   || coalesce(media_ref, 'unnamed') || ' ('
+                   || coalesce(nullif(regexp_replace(text,
+                        '^\\s+|\\s+$', '', 'g'), ''), '0x0') || ')'
+              ELSE text END AS out_text,
+         CASE WHEN kind IN ('text', 'heading') THEN 0
+              WHEN kind = 'image' THEN 2
+              ELSE 4 END AS kind_rank
+  FROM (SELECT *,
+               sum(CASE WHEN kind = 'image' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY off, seq)
+                   AS img_id
+        FROM spans) w
+  WHERE kind = 'image'
+     OR coalesce(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '')
+        <> '')
+SELECT doc_id, CAST(seq AS INT) AS seq, page, kind,
+       out_text AS text, media_ref,
+       CAST(row_number() OVER (PARTITION BY doc_id
+                ORDER BY page, kind_rank, off, seq) AS INT) AS "order"
+FROM kept
+"""
+
+
+def _synth_breakless_spans(docs: DataFrame) -> DataFrame:
+    """synthesize_spans variant with ZERO page breaks: image every 31st
+    chunk (media_ref carries doc and position), heading every 7th, text
+    otherwise — every document is one giant page."""
+    words = F.split(F.col("text"), " ", -1)
+    n = F.size(words)
+    n_chunks = F.greatest(F.ceil(n / 8).cast("int"), F.lit(1))
+    idx = F.sequence(F.lit(0), n_chunks - 1)
+
+    def mk(i):
+        is_img = i % 31 == 17
+        kind = (
+            F.when(is_img, F.lit("image"))
+            .when(i % 7 == 5, F.lit("heading"))
+            .otherwise(F.lit("text"))
+        )
+        text = F.when(is_img, F.lit("640x480")).otherwise(
+            F.array_join(F.slice(words, i * 8 + 1, 8), " ")
+        )
+        ref = F.when(
+            is_img,
+            F.concat(
+                F.lit("img-"),
+                F.col("doc_id").cast("string"),
+                F.lit("-"),
+                i.cast("string"),
+            ),
+        ).cast("string")
+        return F.struct(
+            kind.alias("kind"),
+            text.alias("text"),
+            ref.alias("media_ref"),
+            i.cast("int").alias("offset"),
+        )
+
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.transform(idx, mk).alias("spans"),
+    )
+
+
+@q("w2_mega_breakless", _W2_BREAKLESS_SQL)
+def w2_mega_breakless(spark, sf_dir):
+    """W2 over a skewed corpus whose mega docs have NO page breaks —
+    one giant page, so the whole-doc straggler bound rests on the
+    two-phase chunked image-id windows (pages._with_ids_two_phase,
+    round-4 ADVICE).  The oracle replays the plain single-window
+    semantics: a green hash proves the chunked decomposition is a pure
+    physical optimization on its own pathological case."""
+    from dataclasses import replace as _cfg_replace
+
+    from pdf_parser_spark.config import DEFAULT_CONFIG
+    from pdf_parser_spark.operators import pages as pages_op
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id").cast("bigint") % 250 == 0,
+            F.repeat(F.concat(F.col("text"), F.lit(" ")), 200),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    spans = _synth_breakless_spans(docs)
+    flat = pages_op.explode_spans(spans)
+    cfg = _cfg_replace(
+        DEFAULT_CONFIG, mega_doc_span_threshold=500, salt_buckets=8
+    )
+    return pages_op.span_sequence_skew_df(
+        pages_op.valid_spans(flat), cfg, docs=spans
+    )
+
+
 @q("pipeline_span_sequence", _SPAN_SEQ_SQL)
 def pipeline_span_sequence(spark, sf_dir):
     """W2 flagship: ordered (kind, text, media_ref, order) per doc over

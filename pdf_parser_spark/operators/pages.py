@@ -286,6 +286,47 @@ def _with_page_two_phase(spans: DataFrame) -> DataFrame:
     )
 
 
+def _with_ids_two_phase(spans: DataFrame) -> DataFrame:
+    """Chunked ``_with_ids`` for the mega-doc path: the per-page running
+    image/table ids decompose into a local running sum per
+    (doc_id, page, _obucket) chunk plus a broadcast per-chunk carry —
+    the same decomposition as ``_with_page_two_phase`` — so per-task row
+    counts stay bounded by the offset-quantile chunking EVEN when a mega
+    doc has few or no page breaks (the canonical pathological case: one
+    giant page would otherwise funnel every span into one window task).
+    Exact because ``_obucket`` is order-aligned with (offset, seq)."""
+    is_img = F.when(F.col("kind").isin(*IMAGEISH), 1).otherwise(0)
+    is_tbl = F.when(F.col("kind") == "table", 1).otherwise(0)
+    ck = ["doc_id", "page", "_obucket"]
+    w_local = Window.partitionBy(*ck).orderBy("offset", "seq")
+    local = spans.withColumn(
+        "_li", F.sum(is_img).over(w_local)
+    ).withColumn("_lt", F.sum(is_tbl).over(w_local))
+    totals = spans.groupBy(*ck).agg(
+        F.sum(is_img).alias("_ci"), F.sum(is_tbl).alias("_ct")
+    )
+    w_prior = (
+        Window.partitionBy("doc_id", "page")
+        .orderBy("_obucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prior = (
+        totals.withColumn(
+            "_pi", F.coalesce(F.sum("_ci").over(w_prior), F.lit(0))
+        )
+        .withColumn(
+            "_pt", F.coalesce(F.sum("_ct").over(w_prior), F.lit(0))
+        )
+        .select(*ck, "_pi", "_pt")
+    )
+    return (
+        local.join(F.broadcast(prior), ck)
+        .withColumn("image_id", F.col("_pi") + F.col("_li"))
+        .withColumn("table_id", F.col("_pt") + F.col("_lt"))
+        .drop("_li", "_lt", "_pi", "_pt")
+    )
+
+
 def _span_sequence_two_phase(
     valid_mega: DataFrame, cfg: PipelineConfig
 ) -> DataFrame:
@@ -298,7 +339,7 @@ def _span_sequence_two_phase(
     (doc, page, kind_rank, _obucket) chunk plus the cumulative count of
     all earlier chunks (tiny per-doc window over chunk summaries,
     broadcast back).  Bit-identical to the single-window path."""
-    spans = _with_ids(
+    spans = _with_ids_two_phase(
         _with_page_two_phase(_with_obucket(valid_mega, cfg))
     )
     kept = _kept_with_out_text(spans)
@@ -354,6 +395,10 @@ def span_sequence_skew_df(
     downstream consumer.  With mega docs, the split is a codegen'd isin
     filter on the literal id list (broadcast-tag-join fallback past
     1000 ids)."""
+    if cfg.salt_buckets <= 1:
+        # one chunk = the single-window plan; _with_obucket's percentile
+        # list would be empty (analysis error), so degrade explicitly.
+        return span_sequence_df(valid)
     if docs is not None:
         mega_src = docs.filter(
             F.size("spans") > cfg.mega_doc_span_threshold
@@ -364,7 +409,12 @@ def span_sequence_skew_df(
     if not ids:
         return span_sequence_df(valid)
     if len(ids) <= 1000:
-        normal = valid.filter(~F.col("doc_id").isin(ids))
+        # NULL doc_id must stay in the normal branch: ~isin(NULL) is
+        # NULL (three-valued logic), which filter() drops — test isNull
+        # explicitly so the bit-identical contract holds on that edge.
+        normal = valid.filter(
+            F.col("doc_id").isNull() | ~F.col("doc_id").isin(ids)
+        )
         mega = valid.filter(F.col("doc_id").isin(ids))
     else:  # adversarial corpus: too many megas for a literal filter
         tag = F.broadcast(mega_src.withColumn("_mega", F.lit(True)))

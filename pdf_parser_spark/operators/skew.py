@@ -8,9 +8,10 @@ Three devices, complementing the session-level AQE skew-join:
   broadcast).
 - ``salted_agg``        — two-phase aggregation: partial per (key, salt),
   final per key.  Bounds any single task's group size by ~1/N.
-- mega-doc spreading    — already structural in span reassembly
-  (operators/pages.py: page-local windows + per-(doc,page) count offsets
-  instead of a whole-doc sort; SURVEY.md §4 P6).
+- mega-doc spreading    — implemented in span reassembly
+  (``operators/pages.span_sequence_skew_df``: offset-quantile chunked
+  two-phase windows for docs past ``cfg.mega_doc_span_threshold``,
+  bit-identical to the single-window plan; SURVEY.md §4 P6).
 
 Salt is derived from ``xxhash64`` of a high-cardinality column (or the
 row's natural tiebreaker), never from ``rand()`` — deterministic runs,

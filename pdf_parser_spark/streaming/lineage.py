@@ -37,6 +37,10 @@ from pdf_parser_spark.sources.tables import (
 )
 
 LINEAGE_SUBDIR = "_lineage"
+# The dedup runner records STAGE ordinals, not bucket ids, as
+# partition_id; its lineage lives in its own namespace so pointing both
+# runners at one out_dir can never alias stage rows with bucket rows.
+DEDUP_LINEAGE_SUBDIR = "_lineage_dedup"
 
 
 def with_bucket(docs: DataFrame, n_buckets: int) -> DataFrame:
@@ -48,10 +52,12 @@ def with_bucket(docs: DataFrame, n_buckets: int) -> DataFrame:
     return docs.withColumn("bucket", b.cast("int"))
 
 
-def completed_buckets(spark: SparkSession, out_dir: str) -> set:
+def completed_buckets(
+    spark: SparkSession, out_dir: str, subdir: str = LINEAGE_SUBDIR
+) -> set:
     """Read the lineage table (``iceberg:`` ref or parquet dir — the
     sources/tables seam) and return the done bucket ids."""
-    ref = sub_ref(out_dir, LINEAGE_SUBDIR)
+    ref = sub_ref(out_dir, subdir)
     if not table_exists(spark, ref):
         return set()
     rows = (
@@ -64,12 +70,17 @@ def completed_buckets(spark: SparkSession, out_dir: str) -> set:
     return {r.partition_id for r in rows}
 
 
-def _append_lineage(spark: SparkSession, out_dir: str, rows: list) -> None:
+def _append_lineage(
+    spark: SparkSession,
+    out_dir: str,
+    rows: list,
+    subdir: str = LINEAGE_SUBDIR,
+) -> None:
     from pdf_parser_spark.schemas import LINEAGE
 
     df = spark.createDataFrame(rows, LINEAGE)
     write_table(
-        df.coalesce(1), sub_ref(out_dir, LINEAGE_SUBDIR), mode="append"
+        df.coalesce(1), sub_ref(out_dir, subdir), mode="append"
     )
 
 
@@ -196,7 +207,7 @@ def run_resumable_dedup(
     from pdf_parser_spark.functions import dedup as dd
 
     sig_ref = sub_ref(out_dir, "signatures")
-    done = completed_buckets(spark, out_dir)
+    done = completed_buckets(spark, out_dir, DEDUP_LINEAGE_SUBDIR)
 
     def _stage_row(stage: int, n_rows: int, t0: float) -> tuple:
         return (
@@ -225,7 +236,8 @@ def run_resumable_dedup(
             dd.minhash_df(docs, id_col, text_col, n_hashes, k)
         )
         _append_lineage(
-            spark, out_dir, [_stage_row(0, sigs.count(), t0)]
+            spark, out_dir, [_stage_row(0, sigs.count(), t0)],
+            DEDUP_LINEAGE_SUBDIR,
         )
 
     # --- stage 1: band-bucket candidate pairs -------------------------
@@ -258,7 +270,10 @@ def run_resumable_dedup(
         )
         write_table(pairs, sub_ref(out_dir, "pairs"), mode="overwrite")
         n_pairs = read_table(spark, sub_ref(out_dir, "pairs")).count()
-        _append_lineage(spark, out_dir, [_stage_row(1, n_pairs, t0)])
+        _append_lineage(
+            spark, out_dir, [_stage_row(1, n_pairs, t0)],
+            DEDUP_LINEAGE_SUBDIR,
+        )
 
     return {
         "run_id": run_id,

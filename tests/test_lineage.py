@@ -69,7 +69,9 @@ def test_resumable_dedup_skips_signature_recompute(spark):
                 spark, docs, out_dir, run_id="k1",
                 n_hashes=8, k=3, n_bands=2, fail_after_stages=1,
             )
-        assert L.completed_buckets(spark, out_dir) == {0}
+        assert L.completed_buckets(
+            spark, out_dir, L.DEDUP_LINEAGE_SUBDIR
+        ) == {0}
         sig_dir = f"{out_dir}/signatures"
         mtimes = {
             f: os.path.getmtime(os.path.join(sig_dir, f))
@@ -105,5 +107,47 @@ def test_resumable_dedup_skips_signature_recompute(spark):
             n_hashes=8, k=3, n_bands=2,
         )
         assert summary3["skipped_stages"] == [0, 1]
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def test_dedup_lineage_namespaced_from_pipeline_lineage(spark, docs_df):
+    """Both runners pointed at ONE out_dir must not alias lineage rows:
+    the pipeline runner records bucket ids 0..N-1 and the dedup runner
+    records stage ordinals 0/1 under the same partition_id column — a
+    shared table would make finished pipeline buckets silently mark
+    dedup stages as done (and vice versa)."""
+    from pyspark.sql import functions as F
+
+    out_dir = tempfile.mkdtemp(prefix="lineage_shared_", dir="/root/repo")
+    try:
+        L.run_resumable(
+            spark, docs_df, out_dir, run_id="p1",
+            n_buckets=4, wave_size=4,
+        )
+        # pipeline buckets 0..3 are done — the dedup runner must still
+        # see ZERO completed stages (no aliasing via partition_id 0/1)
+        assert L.completed_buckets(spark, out_dir) == {0, 1, 2, 3}
+        assert (
+            L.completed_buckets(spark, out_dir, L.DEDUP_LINEAGE_SUBDIR)
+            == set()
+        )
+
+        texts = docs_df.select(
+            "doc_id",
+            F.array_join(
+                F.transform(
+                    "spans", lambda s: F.coalesce(s["text"], F.lit(""))
+                ),
+                " ",
+            ).alias("text"),
+        )
+        summary = L.run_resumable_dedup(
+            spark, texts, out_dir, run_id="d1",
+            n_hashes=8, k=3, n_bands=2,
+        )
+        assert summary["skipped_stages"] == []  # nothing falsely done
+        # and the dedup run did not contaminate the pipeline lineage
+        assert L.completed_buckets(spark, out_dir) == {0, 1, 2, 3}
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)

@@ -140,6 +140,95 @@ def test_mega_doc_w2_bounds_task_sizes(spark):
     assert max(sizes) <= 2 * 3000 / 8
 
 
+def _breakless_mega_spans(spark, mega_spans=3000):
+    """One mega doc with ZERO page breaks (one giant page) and images
+    sprinkled in — the canonical pathological case for per-(doc, page)
+    windows: every span shares (doc_id, page)."""
+    rows = []
+    for s in range(mega_spans):
+        kind = "image" if s % 40 == 20 else (
+            "table" if s % 97 == 50 else "text"
+        )
+        ref = f"img-{s}" if kind == "image" else None
+        rows.append(("mega", s, kind, f"span {s} body", ref, s * 3))
+    rows.append(("tiny", 0, "text", "small doc", None, 0))
+    return spark.createDataFrame(
+        rows, ["doc_id", "seq", "kind", "text", "media_ref", "offset"]
+    )
+
+
+def test_breakless_mega_doc_bit_identical_and_chunk_bounded(spark):
+    """A mega doc with NO page breaks must (a) reproduce the
+    single-window output exactly — image/table ids included — and
+    (b) keep every (doc, page, chunk) group, the per-task unit of the
+    two-phase image/table-id windows, bounded by ~2/N of the doc
+    (regression guard: _with_ids used to fall back to a whole
+    (doc_id, page) window, refunneling the breakless doc into one
+    task)."""
+    from pdf_parser_spark.operators import pages as P
+
+    cfg = _low_threshold_cfg(threshold=500, buckets=8)
+    valid = _breakless_mega_spans(spark)
+    plain = sorted(map(tuple, P.span_sequence_df(valid).collect()))
+    salted = sorted(
+        map(tuple, P.span_sequence_skew_df(valid, cfg).collect())
+    )
+    assert plain == salted
+    chunked = P._with_obucket(
+        valid.filter(F.col("doc_id") == "mega"), cfg
+    )
+    sizes = [
+        r.n
+        for r in P._with_page_two_phase(chunked)
+        .groupBy("doc_id", "page", "_obucket")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    ]
+    assert max(sizes) <= 2 * 3000 / 8
+
+
+def test_skew_path_keeps_null_doc_id_rows(spark):
+    """NULL doc_id survives valid_spans (only seq/kind/offset/text are
+    quarantined), so the mega split must not silently drop it:
+    ~isin(NULL) is NULL under three-valued logic, which filter()
+    treats as false in BOTH branches."""
+    from pdf_parser_spark.operators import pages as P
+
+    cfg = _low_threshold_cfg()
+    valid = _skewed_spans(spark).unionByName(
+        spark.createDataFrame(
+            [(None, 0, "text", "orphan span", None, 0)],
+            "doc_id string, seq int, kind string, text string,"
+            " media_ref string, offset int",
+        )
+    )
+    plain = sorted(
+        map(tuple, P.span_sequence_df(valid).collect()),
+        key=lambda t: (t[0] or "", t[1]),
+    )
+    salted = sorted(
+        map(tuple, P.span_sequence_skew_df(valid, cfg).collect()),
+        key=lambda t: (t[0] or "", t[1]),
+    )
+    assert plain == salted
+    assert any(t[0] is None for t in salted)
+
+
+def test_salt_buckets_one_degrades_to_single_window(spark):
+    """cfg.salt_buckets=1 is a legal config: one chunk IS the single
+    window, so the skew path must short-circuit instead of crashing on
+    percentile_approx([])."""
+    from pdf_parser_spark.operators import pages as P
+
+    cfg = _low_threshold_cfg(threshold=500, buckets=1)
+    valid = _skewed_spans(spark)
+    plain = sorted(map(tuple, P.span_sequence_df(valid).collect()))
+    salted = sorted(
+        map(tuple, P.span_sequence_skew_df(valid, cfg).collect())
+    )
+    assert plain == salted
+
+
 def test_mega_doc_w2_empty_branch_on_healthy_corpus(spark):
     """With no doc past the threshold the skew path equals the plain
     path (mega branch empty) — the run_pipeline default is safe."""
