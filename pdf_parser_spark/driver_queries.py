@@ -3326,6 +3326,87 @@ def sim_ann_recall(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Skew salting under driver verification (north rule: "explicitly salts
+# skewed partitions (… hot media_refs)"): both operators/skew.py helpers
+# run over a synthesized 90%-hot media_ref distribution, and the oracle
+# replays the PLAIN (unsalted) join/aggregation — a green value hash
+# proves the salt replicate/two-phase rewrites are pure physical
+# optimizations.
+# ---------------------------------------------------------------------------
+
+_HOT_MEDIA_CTE = """
+big AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         CASE WHEN CAST(doc_id AS BIGINT) % 10 <> 0 THEN 'hot-logo'
+              ELSE 'ref-' || CAST(CAST(doc_id AS BIGINT) % 7 AS VARCHAR)
+              END AS media_ref,
+         CAST(length(text) AS BIGINT) AS v
+  FROM documents)
+"""
+
+
+def _hot_media_df(spark, sf_dir):
+    did = F.col("doc_id").cast("bigint")
+    return _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.when(did % 10 != 0, F.lit("hot-logo"))
+        .otherwise(
+            F.concat(F.lit("ref-"), (did % 7).cast("string"))
+        )
+        .alias("media_ref"),
+        F.length("text").cast("long").alias("v"),
+    )
+
+
+@m(
+    "skew_salted_join",
+    f"""WITH {_HOT_MEDIA_CTE},
+dim(media_ref, media_type) AS (VALUES
+  ('hot-logo', 'image'), ('ref-0', 'figure'), ('ref-3', 'chart'))
+SELECT b.doc_id, b.media_ref, d.media_type
+FROM big b JOIN dim d USING (media_ref)""",
+)
+def skew_salted_join(spark, sf_dir):
+    """salted_equi_join over a 90%-hot media_ref column vs the plain
+    inner join: the dimension side is replicated across 16 salt buckets
+    so the hot key's probe rows spread over 16 tasks (operators/skew.py;
+    the spread itself is pinned by tests/test_skew.py)."""
+    from pdf_parser_spark.operators import skew as skew_op
+
+    dim = spark.createDataFrame(
+        [("hot-logo", "image"), ("ref-0", "figure"), ("ref-3", "chart")],
+        ["media_ref", "media_type"],
+    )
+    return skew_op.salted_equi_join(
+        _hot_media_df(spark, sf_dir).drop("v"),
+        dim,
+        key="media_ref",
+        salt_from="doc_id",
+        n_salts=16,
+    ).select("doc_id", "media_ref", "media_type")
+
+
+@m(
+    "skew_salted_agg",
+    f"""WITH {_HOT_MEDIA_CTE}
+SELECT media_ref, count(*) AS n, sum(v) AS total
+FROM big GROUP BY media_ref""",
+)
+def skew_salted_agg(spark, sf_dir):
+    """salted_agg (partial per (key, salt), final per key) vs the plain
+    single-phase groupBy — the hot key's group work bounded by ~1/16."""
+    from pdf_parser_spark.operators import skew as skew_op
+
+    return skew_op.salted_agg(
+        _hot_media_df(spark, sf_dir),
+        key="media_ref",
+        salt_from="doc_id",
+        aggs={"n": "*", "total": "v"},
+        n_salts=16,
+    )
+
+
+# ---------------------------------------------------------------------------
 # suite registration: the driver's correctness gate runs only the FIRST
 # 50 registry entries (observed r02: registry 53 → exactly positions
 # 51-53 missing; r03: registry 69 → positions 51-69 missing), so the 69
@@ -3334,6 +3415,14 @@ def sim_ann_recall(spark, sf_dir):
 # sorted-column value hash therefore still pins each member exactly as
 # it did standalone, per-block under the ``chk`` discriminator.
 # ---------------------------------------------------------------------------
+
+suite(
+    "skew_salting_suite",
+    ["skew_salted_join", "skew_salted_agg"],
+    "operators/skew.py hot-key devices vs UNSALTED oracles: the "
+    "16-way salt-replicated dim join and the two-phase (key, salt) "
+    "aggregation, both over a 90%-hot media_ref distribution.",
+)
 
 suite(
     "f1_x3_event_rollups",
